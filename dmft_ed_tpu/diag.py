@@ -1,0 +1,220 @@
+"""Spectrum determination: the sector sweep.
+
+Replaces ED_DIAG.f90: per-sector choice of dense eigh vs (thick-restart)
+Lanczos, T=0 ground-state windowing vs finite-T capacity-bounded state list,
+Boltzmann trimming with `lanc_nstates_total` auto-tuning and per-sector
+`neigen_sector` feedback (ED_DIAG.f90:49-565).
+
+The reference's serial sector loop is kept host-side (sectors have distinct
+static shapes); the per-sector solves are jit-compiled device computations.
+Independent sectors can additionally be dispatched concurrently (the
+reference never does this — SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import EDConfig
+from .sectors import Sector, SectorTable, sector_table, sector_label
+from .bath import Bath
+from .eigenspace import StateList
+from .hamiltonian import (build_sector_hamiltonian, assemble_dense,
+                          make_matvec, flatten_blocks, unflatten_blocks)
+from .lanczos import eigs_lanczos, lanczos_ground_state
+
+
+@dataclass
+class DiagState:
+    """Mutable across-DMFT-iteration solver memory (neigen feedback etc.)."""
+    neigen_sector: Dict[int, int] = field(default_factory=dict)
+    lanc_nstates_total: int = 1
+    trim_counter: int = 0
+
+
+def sectors_mask(cfg: EDConfig, table: SectorTable,
+                 suffix: str = "") -> np.ndarray:
+    """ed_sectors restriction from sectors_list restart file
+    (ed_pre_diag, ED_DIAG.f90:263-363)."""
+    mask = np.ones(len(table), dtype=bool)
+    if not cfg.ed_sectors:
+        return mask
+    path = f"sectors_list{suffix}.restart"
+    if not os.path.exists(path):
+        return mask
+    mask[:] = False
+    with open(path) as fh:
+        rows = [tuple(int(float(x)) for x in ln.split())
+                for ln in fh if ln.strip()]
+    sh = cfg.ed_sectors_shift
+    for row in rows:
+        if cfg.ed_mode == "normal":
+            nup, ndw = row[0], row[1]
+            cands = [(nup, ndw)]
+            for s in range(1, sh + 1):
+                cands += [(nup + s, ndw), (nup - s, ndw),
+                          (nup, ndw + s), (nup, ndw - s)]
+            for c in cands:
+                sec = table.get(*c)
+                if sec is not None:
+                    mask[sec.index] = True
+        else:
+            q = row[0]
+            for c in [q] + [q + s * sgn for s in range(1, sh + 1)
+                            for sgn in (-1, 1)]:
+                sec = table.get(c)
+                if sec is not None:
+                    mask[sec.index] = True
+    return mask
+
+
+def _solve_sector_dense(ham, neigen: int):
+    H = assemble_dense(ham)
+    evals, evecs = np.linalg.eigh(H)
+    return evals[:neigen], jnp.asarray(evecs[:, :neigen].T)
+
+
+def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng):
+    sec = ham.sector
+    matvec_blocks, template = make_matvec(ham, cfg)
+
+    def matvec(x):
+        return flatten_blocks(matvec_blocks(unflatten_blocks(x, sec)))
+
+    dt = template[0].dtype
+    v0 = rng.normal(size=sec.dim)
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        v0 = v0 + 1j * rng.normal(size=sec.dim)
+    v0 = jnp.asarray(v0, dtype=dt)
+    v0 = v0 / jnp.linalg.norm(v0)
+    if cfg.lanc_method.lower() == "lanczos":
+        e0, gs = lanczos_ground_state(matvec, v0,
+                                      niter=min(sec.dim, cfg.lanc_niter),
+                                      tol=cfg.lanc_tolerance)
+        return np.array([e0]), gs[None, :]
+    ncv = min(sec.dim,
+              cfg.lanc_ncv_factor * max(neigen, cfg.lanc_nstates_sector)
+              + cfg.lanc_ncv_add)
+    evals, evecs, _ = eigs_lanczos(matvec, v0, neigen, ncv,
+                                   maxiter=min(sec.dim, cfg.lanc_niter),
+                                   tol=cfg.lanc_tolerance)
+    return np.asarray(evals), evecs
+
+
+def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
+                state: Optional[DiagState] = None,
+                suffix: str = "", log=None) -> tuple:
+    """Full sector sweep. Returns (StateList, zeta, DiagState)."""
+    table = sector_table(cfg)
+    if state is None:
+        state = DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
+    if not state.neigen_sector:
+        for sec in table.sectors:
+            state.neigen_sector[sec.index] = min(sec.dim,
+                                                 cfg.lanc_nstates_sector)
+
+    smask = sectors_mask(cfg, table, suffix)
+    tmask = table.twin_mask() if cfg.ed_twin else np.ones(len(table), bool)
+    finite_t = state.lanc_nstates_total > 1
+
+    slist = StateList()
+    oldzero = 1000.0
+    rng = np.random.default_rng(cfg.seed + 7)
+    t0 = time.time()
+    it = 0
+    for sec in table.sectors:
+        if not (smask[sec.index] and tmask[sec.index]) or sec.dim == 0:
+            continue
+        it += 1
+        tflag = cfg.ed_twin and tmask[sec.index]
+        if cfg.ed_mode == "normal":
+            tflag = tflag and (sec.qn[1] != sec.qn[2])
+        elif cfg.ed_mode == "superc":
+            tflag = tflag and (sec.qn[1] != 0)
+        else:
+            tflag = tflag and (sec.qn[1] != cfg.ns)
+
+        neigen = min(sec.dim, state.neigen_sector[sec.index])
+        lanc_solve = (neigen < sec.dim) and (sec.dim > cfg.lanc_dim_threshold)
+        ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+        if lanc_solve:
+            evals, evecs = _solve_sector_lanczos(cfg, ham, neigen, rng)
+        else:
+            evals, evecs = _solve_sector_dense(ham, neigen)
+            evals, evecs = evals[:neigen], evecs[:neigen]
+        if log and cfg.ed_verbose >= 3:
+            log(f" {it:4d}-Solving sector {sec.index:4d} "
+                f"{sector_label(sec)} dim={sec.dim} neigen={neigen}")
+
+        if finite_t:
+            for e, v in zip(evals, evecs):
+                slist.add(e, v, sec, table, twin=tflag,
+                          size=state.lanc_nstates_total)
+        else:
+            for e, v in zip(evals, evecs):
+                if e < oldzero - 10 * cfg.gs_threshold:
+                    oldzero = e
+                    slist.clear()
+                    slist.add(e, v, sec, table, twin=tflag)
+                elif abs(e - oldzero) <= cfg.gs_threshold:
+                    oldzero = min(oldzero, e)
+                    slist.add(e, v, sec, table, twin=tflag)
+
+    # ---- post-diag (ED_DIAG.f90:383-566)
+    zeta = slist.partition_function(cfg.beta, finite_t)
+    if finite_t:
+        # per-sector neigen feedback
+        counts = {i: 0 for i in state.neigen_sector}
+        for s in slist:
+            counts[s.sector.index] += 1
+        for i in state.neigen_sector:
+            if counts[i] > 0:
+                state.neigen_sector[i] += 1
+            else:
+                state.neigen_sector[i] -= 1
+            if state.neigen_sector[i] > counts[i]:
+                state.neigen_sector[i] = counts[i] + 1
+            if state.neigen_sector[i] <= 0:
+                state.neigen_sector[i] = 1
+        # Boltzmann-cutoff feedback on total kept states
+        egs, ec = slist.emin, slist.emax
+        if np.exp(-cfg.beta * (ec - egs)) > cfg.cutoff:
+            state.lanc_nstates_total += cfg.lanc_nstates_step
+            if log:
+                log(f"Increasing lanc_nstates_total: {state.lanc_nstates_total}")
+        else:
+            while len(slist) > 1 and np.exp(
+                    -cfg.beta * (slist.emax - egs)) <= cfg.cutoff:
+                slist.pop_last()
+            state.lanc_nstates_total = max(len(slist), cfg.lanc_nstates_step) \
+                + cfg.lanc_nstates_step
+    if log and cfg.ed_verbose >= 2:
+        log(f"Diagonalization done in {time.time() - t0:.2f}s: "
+            f"{len(slist)} states, Egs={slist.emin:.12f}, Z={zeta:.6f}")
+    return slist, zeta, state
+
+
+def write_state_list(cfg: EDConfig, slist: StateList, zeta: float,
+                     suffix: str = "") -> None:
+    """state_list<suffix>.ed + .restart files (print_state_list +
+    sectors_list restart, ED_DIAG.f90:396-450)."""
+    beta = cfg.beta
+    egs = slist.emin
+    for name in (f"state_list{suffix}.ed", f"state_list{suffix}.restart"):
+        with open(name, "w") as fh:
+            fh.write("# i E E-Egs qn sector exp(-beta(E-Egs))/Z\n")
+            for i, s in enumerate(slist):
+                qn = " ".join(str(q) for q in s.sector.qn[1:])
+                w = np.exp(-beta * (s.energy - egs)) / max(zeta, 1e-300)
+                fh.write(f"{i + 1:6d} {s.energy:18.12f} {w: .12E} "
+                         f"{qn} {s.sector.index + 1:4d}\n")
+    with open(f"sectors_list{suffix}.restart", "w") as fh:
+        for s in slist:
+            fh.write(" ".join(str(q) for q in s.sector.qn[1:]) + "\n")

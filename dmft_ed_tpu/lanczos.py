@@ -1,0 +1,215 @@
+"""Krylov eigensolvers in pure JAX.
+
+Replaces the reference's L0 sparse linear algebra (SURVEY.md §2b):
+  * ``sp_lanc_tridiag`` / ``sp_lanc_eigh`` (plain Lanczos, 3-term recurrence
+    with beta-breakdown exit — .repo/PLAIN_LANCZOS.f90:54-180)
+  * ``sp_eigh`` (P-ARPACK implicitly-restarted Lanczos — here a
+    thick-restart Lanczos with full two-pass reorthogonalization, which is
+    the memory-bounded ARPACK equivalent and is numerically *stronger* than
+    the reference's un-reorthogonalized plain path).
+
+All routines operate on flat device vectors; ``matvec`` is any jittable
+Hermitian operator. Dot products are ``jnp.vdot`` — under a sharded mesh XLA
+lowers them to psum over ICI, replacing P-ARPACK's internal MPI allreduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BREAKDOWN = 1e-13
+
+
+# ----------------------------------------------------------------------
+# plain Lanczos tridiagonalization (GF resolvent path)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 2))
+def lanczos_tridiag(matvec: Callable, v0: jnp.ndarray, niter: int):
+    """3-term Lanczos recurrence from normalized v0.
+
+    Returns (alpha[niter], beta[niter], nsteps): alpha_j = <v_j|H|v_j>,
+    beta[j] = ||w_{j}|| coupling v_{j-1} -> v_j (beta[0] = 1 sentinel,
+    matching the reference convention where blanc(1) is unused,
+    PLAIN_LANCZOS.f90:127-180). After breakdown (beta < 1e-13) the recurrence
+    is frozen and nsteps records the usable count.
+    """
+    dt = v0.dtype
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) else jnp.float32
+
+    def step(carry, _):
+        v_prev, v, b_prev, alive = carry
+        w = matvec(v)
+        a = jnp.real(jnp.vdot(v, w))
+        w = w - a * v - b_prev * v_prev
+        b = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        ok = alive & (b > _BREAKDOWN)
+        v_next = jnp.where(ok, w / jnp.where(b > 0, b, 1.0), jnp.zeros_like(w))
+        out_a = jnp.where(alive, a, 0.0)
+        out_b = jnp.where(ok, b, 0.0)
+        return (jnp.where(ok, v, v_prev), v_next, jnp.where(ok, b, 0.0), ok), \
+            (out_a.astype(rdt), out_b.astype(rdt), alive)
+
+    init = (jnp.zeros_like(v0), v0, jnp.asarray(0.0, rdt), jnp.asarray(True))
+    _, (alphas, betas, alive) = jax.lax.scan(step, init, None, length=niter)
+    nsteps = jnp.sum(alive.astype(jnp.int32))
+    # shift: beta[j] couples step j-1 to j (reference stores beta_{j} at j+1)
+    betas_out = jnp.concatenate([jnp.ones(1, rdt), betas[:-1]])
+    return alphas, betas_out, nsteps
+
+
+def tridiag_eigh(alpha: np.ndarray, beta: np.ndarray):
+    """Eigendecomposition of the symmetric tridiagonal (host, LAPACK ste*).
+
+    alpha: diag [n]; beta: [n] with beta[0] unused (reference layout).
+    Mirrors the `eigh(diag, subdiag)` call in add_to_lanczos_gf_normal
+    (ED_GF_NORMAL.f90:617-618).
+    """
+    import scipy.linalg as sla
+    n = len(alpha)
+    if n == 1:
+        return np.asarray(alpha), np.ones((1, 1))
+    return sla.eigh_tridiagonal(np.asarray(alpha), np.asarray(beta[1:n]))
+
+
+# ----------------------------------------------------------------------
+# thick-restart Lanczos with full reorthogonalization (ARPACK replacement)
+# ----------------------------------------------------------------------
+
+def _expand(matvec, V, T, j0: int, m: int):
+    """Grow the orthonormal basis V[j0..m] and projection T columns j0..m-1.
+
+    V: [m+1, dim] with rows < j0 filled (orthonormal), row j0 = next start
+    vector. T: [m+1, m+1] projected operator (arrowhead+tridiag after
+    restarts). Rows of V beyond the current step are zero, so the full-basis
+    Gram-Schmidt products need no masking. Two orthogonalization passes give
+    machine-precision orthogonality (the 'Lanczos hygiene' obligation,
+    SURVEY.md §7 hard parts).
+    """
+
+    def step(carry, j):
+        V, T = carry
+        v = V[j]
+        w = matvec(v)
+        h1 = V.conj() @ w
+        w = w - V.T @ h1
+        h2 = V.conj() @ w
+        w = w - V.T @ h2
+        h = h1 + h2
+        b = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        safe = b > _BREAKDOWN
+        vnext = jnp.where(safe, 1.0, 0.0) * w / jnp.where(safe, b, 1.0)
+        V = V.at[j + 1].set(vnext)
+        T = T.at[:, j].set(h)
+        T = T.at[j, :].set(jnp.conj(h))      # Hermitian fill
+        T = T.at[j + 1, j].set(b)
+        T = T.at[j, j + 1].set(b)
+        return (V, T), b
+
+    (V, T), betas = jax.lax.scan(step, (V, T), jnp.arange(j0, m))
+    return V, T, betas
+
+
+def eigs_lanczos(matvec: Callable,
+                 v0: jnp.ndarray,
+                 neigen: int,
+                 ncv: int,
+                 maxiter: int = 512,
+                 tol: float = 1e-12) -> Tuple[np.ndarray, jnp.ndarray, int]:
+    """Lowest `neigen` eigenpairs of the Hermitian operator `matvec`.
+
+    Thick-restart Lanczos: expand a Krylov basis to ncv vectors (full reorth),
+    Rayleigh-Ritz on the projected (ncv x ncv) matrix, restart with the
+    `k = neigen` best Ritz vectors plus the residual direction. Replaces
+    ``sp_eigh``/P-ARPACK (ED_DIAG.f90:149-166).
+
+    Returns (evals [neigen] ascending, evecs [neigen, dim], iterations).
+    """
+    dim = v0.shape[0]
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    dt = v0.dtype
+    k = neigen
+
+    expand = jax.jit(_expand, static_argnums=(0, 3, 4))
+
+    V = jnp.zeros((ncv + 1, dim), dtype=dt)
+    V = V.at[0].set(v0 / jnp.linalg.norm(v0))
+    T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+
+    niter = 0
+    j0 = 0
+    restarts = max(1, int(np.ceil(maxiter / max(ncv - k, 1))))
+    evals = None
+    for it in range(restarts):
+        V, T, betas = expand(matvec, V, T, j0, ncv)
+        niter += ncv - j0
+        betas_h = np.asarray(betas)
+        # effective basis size (truncate at breakdown => exact subspace)
+        m_eff = ncv
+        bad = np.nonzero(betas_h < _BREAKDOWN)[0]
+        if bad.size:
+            m_eff = j0 + int(bad[0]) + 1
+        Th = np.asarray(T[:m_eff, :m_eff])
+        evals_all, Y = np.linalg.eigh(Th)
+        k_eff = min(k, m_eff)
+        evals = evals_all[:k_eff]
+        beta_m = float(np.asarray(T[m_eff, m_eff - 1]).real) \
+            if m_eff < ncv + 1 else 0.0
+        resid = np.abs(beta_m * Y[m_eff - 1, :k_eff])
+        if np.all(resid < max(tol, 1e-14) * np.maximum(1.0, np.abs(evals))) \
+                or m_eff < ncv or niter >= maxiter:
+            Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+            evecs = (Yk.T @ V[:m_eff])
+            return evals, evecs, niter
+        # --- thick restart
+        Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+        ritz = Yk.T @ V[:m_eff]                      # [k, dim]
+        vres = V[m_eff]                               # normalized residual dir
+        V = jnp.zeros((ncv + 1, dim), dtype=dt)
+        V = V.at[:k_eff].set(ritz)
+        V = V.at[k_eff].set(vres)
+        T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+        T = T.at[jnp.arange(k_eff), jnp.arange(k_eff)].set(
+            jnp.asarray(evals).astype(dt))
+        s = jnp.asarray(beta_m * Y[m_eff - 1, :k_eff], dtype=dt)
+        T = T.at[k_eff, :k_eff].set(jnp.conj(s))
+        T = T.at[:k_eff, k_eff].set(s)
+        j0 = k_eff
+    Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+    return evals, (Yk.T @ V[:m_eff]), niter
+
+
+def lanczos_ground_state(matvec: Callable, v0: jnp.ndarray,
+                         niter: int = 512, tol: float = 1e-12):
+    """Plain-Lanczos ground state (lanc_method='lanczos', T=0 only;
+    PLAIN_LANCZOS.f90:189-397). Two-pass: tridiagonalize, diagonalize the
+    small matrix, then rebuild |gs> = Σ_j y_j |v_j> with a second recurrence
+    — no basis storage."""
+    alphas, betas, nsteps = lanczos_tridiag(matvec, v0, niter)
+    n = max(int(nsteps), 1)
+    a, b = np.asarray(alphas[:n]), np.asarray(betas[:n])
+    evals, Y = tridiag_eigh(a, b)
+    y = jnp.asarray(Y[:, 0], dtype=v0.dtype)
+
+    def step(carry, j):
+        v_prev, v, b_prev, acc = carry
+        acc = acc + y[j] * v
+        w = matvec(v)
+        aj = alphas[j]
+        w = w - aj * v - b_prev * v_prev
+        bj = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        vn = w / jnp.where(bj > _BREAKDOWN, bj, 1.0)
+        return (v, vn, bj, acc), None
+
+    init = (jnp.zeros_like(v0), v0, jnp.asarray(0.0, jnp.result_type(v0.real)),
+            jnp.zeros_like(v0))
+    carry, _ = jax.lax.scan(step, init, jnp.arange(n))
+    gs = carry[3]
+    gs = gs / jnp.linalg.norm(gs)
+    return float(evals[0]), gs

@@ -1,0 +1,91 @@
+"""Krylov solvers vs dense LAPACK on random Hermitian matrices and on real
+sector Hamiltonians (SURVEY.md §4 unit level: 'Lanczos tridiag vs numpy
+dense eigendecomposition')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dmft_ed_tpu.lanczos import (lanczos_tridiag, tridiag_eigh, eigs_lanczos,
+                                 lanczos_ground_state)
+
+
+def _rand_herm(n, seed=0, cplx=False):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    if cplx:
+        A = A + 1j * rng.normal(size=(n, n))
+    return (A + A.conj().T) / 2
+
+
+@pytest.mark.parametrize("cplx", [False, True])
+def test_eigs_lanczos_matches_dense(cplx):
+    n = 200
+    A = _rand_herm(n, seed=1, cplx=cplx)
+    Aj = jnp.asarray(A)
+    mv = lambda v: Aj @ v
+    rng = np.random.default_rng(2)
+    v0 = jnp.asarray(rng.normal(size=n) + (1j * rng.normal(size=n) if cplx else 0))
+    evals, evecs, niter = eigs_lanczos(mv, v0, neigen=4, ncv=20, maxiter=400,
+                                       tol=1e-12)
+    ref = np.linalg.eigvalsh(A)[:4]
+    np.testing.assert_allclose(evals, ref, atol=1e-9)
+    # eigvec residuals
+    for i in range(4):
+        v = np.asarray(evecs[i])
+        r = A @ v - evals[i] * v
+        assert np.linalg.norm(r) < 1e-7, (i, np.linalg.norm(r))
+
+
+def test_eigs_lanczos_degenerate():
+    """Doubly-degenerate ground state must yield both copies."""
+    n = 120
+    A = _rand_herm(n, seed=3)
+    w, U = np.linalg.eigh(A)
+    w[1] = w[0]  # force degeneracy
+    A = (U * w) @ U.T
+    mv = lambda v: jnp.asarray(A) @ v
+    v0 = jnp.asarray(np.random.default_rng(4).normal(size=n))
+    evals, evecs, _ = eigs_lanczos(mv, v0, neigen=3, ncv=18, maxiter=600)
+    np.testing.assert_allclose(evals[:2], [w[0], w[0]], atol=1e-8)
+
+
+def test_lanczos_tridiag_spectrum():
+    """Eigenvalues of the Lanczos tridiagonal converge to extremal evals."""
+    n = 300
+    A = _rand_herm(n, seed=5)
+    mv = lambda v: jnp.asarray(A) @ v
+    v0 = np.random.default_rng(6).normal(size=n)
+    v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+    al, be, ns = lanczos_tridiag(mv, v0, 80)
+    ns = int(ns)
+    evals, _ = tridiag_eigh(np.asarray(al[:ns]), np.asarray(be[:ns]))
+    dense = np.linalg.eigvalsh(A)
+    assert abs(evals[0] - dense[0]) < 1e-8
+    assert abs(evals[-1] - dense[-1]) < 1e-8
+
+
+def test_lanczos_tridiag_breakdown():
+    """Krylov space smaller than niter: clean breakdown, exact spectrum."""
+    A = np.diag([1.0, 2.0, 3.0])
+    mv = lambda v: jnp.asarray(A) @ v
+    v0 = jnp.asarray(np.ones(3) / np.sqrt(3))
+    al, be, ns = lanczos_tridiag(mv, v0, 10)
+    ns = int(ns)
+    assert ns == 3
+    evals, _ = tridiag_eigh(np.asarray(al[:ns]), np.asarray(be[:ns]))
+    np.testing.assert_allclose(evals, [1, 2, 3], atol=1e-10)
+
+
+def test_ground_state_two_pass():
+    n = 150
+    A = _rand_herm(n, seed=7)
+    mv = lambda v: jnp.asarray(A) @ v
+    v0 = np.random.default_rng(8).normal(size=n)
+    v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+    e0, gs = lanczos_ground_state(mv, v0, niter=150)
+    dense = np.linalg.eigvalsh(A)
+    assert abs(e0 - dense[0]) < 1e-8
+    r = A @ np.asarray(gs) - e0 * np.asarray(gs)
+    assert np.linalg.norm(r) < 1e-5
