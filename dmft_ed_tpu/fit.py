@@ -1,0 +1,281 @@
+"""chi^2 bath fitting.
+
+Replaces ED_FIT_CHI2.f90 + the seven per-(bath_type x ed_mode) implementations
+in ED_FIT_CHI2/: a single generic minimizer. The Anderson functions Δ/G0/F
+come from bath_fns (differentiable JAX), so gradients are `jax.grad` instead
+of the reference's hand-coded analytic derivatives
+(fitgf_normal_normal.f90:341-359); L-BFGS-B replaces the NR conjugate
+gradient (fmin_cg). chi^2 = Σ_n |X(iw_n) - X_And(iw_n)|^2 / W_n over the
+first Lfit Matsubara points with the reference's cg_weight schemes
+(fitgf_normal_normal.f90:36-53).
+
+The reference fits orbital components sequentially with independent CG runs;
+here all fitted components are minimized jointly — identical minimum for
+bath_type=normal (the residuals are independent per orbital) and a strictly
+better-conditioned problem otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from .config import EDConfig
+from .bath import Bath, unpack_bath, pack_bath, save_bath
+from .bath_fns import delta, fdelta, g0and, f0and
+
+
+def _weights(cfg: EDConfig, ldelta: int) -> np.ndarray:
+    x = np.pi / cfg.beta * (2 * np.arange(1, ldelta + 1) - 1)
+    if cfg.cg_weight == 1:
+        return np.ones(ldelta)
+    if cfg.cg_weight == 2:
+        return np.arange(1, ldelta + 1).astype(float)
+    if cfg.cg_weight == 3:
+        return x
+    return np.full(ldelta, float(ldelta))   # default: 1/Ldelta normalization
+
+
+def _model(cfg: EDConfig, x, p, hloc):
+    """Fit target functions per cg_scheme: (normal, anomalous-or-None)."""
+    if cfg.cg_scheme == "weiss":
+        G = g0and(cfg, x, p, hloc, "mats")
+        F = f0and(cfg, x, p, hloc, "mats") if cfg.ed_mode == "superc" else None
+    else:
+        G = delta(cfg, x, p, "mats")
+        F = fdelta(cfg, x, p, "mats") if cfg.ed_mode == "superc" else None
+    return G, F
+
+
+def _component_mask(cfg: EDConfig, ispin: Optional[int],
+                    iorb: Optional[int], mask_r=None) -> np.ndarray:
+    """Bool [Nspin,Nspin,Norb,Norb]: which components enter chi^2."""
+    m = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb), dtype=bool)
+    spins = range(cfg.nspin) if ispin is None else [ispin]
+    orbs = range(cfg.norb) if iorb is None else [iorb]
+    if cfg.bath_type == "normal":
+        if cfg.ed_mode == "nonsu2":
+            for s in range(cfg.nspin):
+                for s2 in range(cfg.nspin):
+                    for a in orbs:
+                        m[s, s2, a, a] = True
+        else:
+            for s in spins:
+                for a in orbs:
+                    m[s, s, a, a] = True
+    elif cfg.bath_type == "hybrid":
+        if cfg.ed_mode == "nonsu2":
+            m[:, :, :, :] = True
+        else:
+            for s in spins:
+                m[s, s, :, :] = True
+    else:  # replica: fit components present in the bath mask + diagonal
+        m[:, :, :, :] = False
+        for s in range(cfg.nspin):
+            m[s, s][np.eye(cfg.norb, dtype=bool)] = True
+        if mask_r is not None:
+            m |= mask_r[..., 0] | mask_r[..., 1]
+    return m
+
+
+def _fit_pack(cfg: EDConfig, b: Bath, ispin, iorb):
+    """(x0, inject) where inject maps the flat fit vector back into the
+    bath-params pytree differentiably."""
+    if cfg.bath_type != "replica":
+        names = ["e", "v"]
+        if cfg.ed_mode == "superc":
+            names = ["e", "d", "v"]
+        if cfg.ed_mode == "nonsu2":
+            names = ["e", "v", "u"]
+        arrs = {n: jnp.asarray(getattr(b, n)) for n in names}
+        sizes = {n: arrs[n].size for n in names}
+        x0 = np.concatenate([np.asarray(arrs[n]).ravel() for n in names])
+
+        def inject(xv):
+            p = {}
+            off = 0
+            for n in names:
+                p[n] = xv[off:off + sizes[n]].reshape(arrs[n].shape)
+                off += sizes[n]
+            return p
+        return x0, inject
+    # replica: masked Re/Im of h + real vr (pack order == user bath vector)
+    mask = b.mask
+    idx_re, idx_im = [], []
+    maxspin = 1 if (cfg.ed_para and cfg.ed_mode == "normal") else cfg.nspin
+    for s in range(maxspin):
+        for s2 in ([s] if cfg.ed_mode == "normal" else range(cfg.nspin)):
+            for a in range(cfg.norb):
+                for c in range(cfg.norb):
+                    io, jo = a + s * cfg.norb, c + s2 * cfg.norb
+                    if io > jo:
+                        continue
+                    if mask[s, s2, a, c, 0]:
+                        idx_re.append((s, s2, a, c))
+                    if mask[s, s2, a, c, 1]:
+                        idx_im.append((s, s2, a, c))
+    h0 = b.h
+
+    def inject(xv):
+        # parameters are per-(masked element, bath copy):
+        # x layout = [re-elems x nbath][im-elems x nbath][vr x nbath]
+        h = jnp.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.nbath),
+                      dtype=jnp.complex128)
+        off = 0
+        for (s, s2, a, c) in idx_re:
+            h = h.at[s, s2, a, c, :].add(xv[off:off + cfg.nbath])
+            off += cfg.nbath
+        for (s, s2, a, c) in idx_im:
+            h = h.at[s, s2, a, c, :].add(1j * xv[off:off + cfg.nbath])
+            off += cfg.nbath
+        vr = xv[off:off + cfg.nbath]
+        return {"h": _herm_fill(cfg, h), "vr": vr.astype(jnp.complex128)}
+
+    parts = []
+    for (s, s2, a, c) in idx_re:
+        parts.append(h0[s, s2, a, c, :].real)
+    for (s, s2, a, c) in idx_im:
+        parts.append(h0[s, s2, a, c, :].imag)
+    parts.append(b.vr.real)
+    x0 = np.concatenate(parts)
+    return x0, inject
+
+
+def _herm_fill(cfg: EDConfig, h):
+    """Fill the lower triangle of h (in combined spin-orbital space) from the
+    upper triangle by hermiticity, and mirror spin copies for ed_para."""
+    nso = cfg.nspin * cfg.norb
+    hso = h.transpose(0, 2, 1, 3, 4).reshape(nso, nso, cfg.nbath)
+    iu = jnp.triu_indices(nso, 1)
+    hso = hso.at[iu[1], iu[0], :].set(jnp.conj(hso[iu[0], iu[1], :]))
+    h = hso.reshape(cfg.nspin, cfg.norb, cfg.nspin, cfg.norb, cfg.nbath
+                    ).transpose(0, 2, 1, 3, 4)
+    if cfg.ed_para and cfg.ed_mode == "normal" and cfg.nspin == 2:
+        h = h.at[1, 1].set(h[0, 0])
+    return h
+
+
+def _delta_target_from_weiss(cfg: EDConfig, g0, x, hloc) -> np.ndarray:
+    """Δ_target = (z+mu) - Hloc - G0^{-1} componentwise/matrixwise."""
+    out = np.zeros_like(g0)
+    zmu = x + cfg.xmu
+    if cfg.bath_type == "normal" and cfg.ed_mode != "nonsu2":
+        for s in range(cfg.nspin):
+            for a in range(cfg.norb):
+                out[s, s, a, a] = zmu - hloc[s, s, a, a] - 1.0 / g0[s, s, a, a]
+    elif cfg.ed_mode != "nonsu2":
+        for s in range(cfg.nspin):
+            m = g0[s, s].transpose(2, 0, 1)
+            ig = np.linalg.inv(m).transpose(1, 2, 0)
+            out[s, s] = (zmu[None, None, :] * np.eye(cfg.norb)[..., None]
+                         - hloc[s, s][..., None] - ig)
+    else:
+        nso = cfg.nspin * cfg.norb
+        L = g0.shape[-1]
+        m = g0.transpose(4, 0, 2, 1, 3).reshape(L, nso, nso)
+        ig = np.linalg.inv(m)
+        hl = hloc.transpose(0, 2, 1, 3).reshape(nso, nso)
+        d = zmu[:, None, None] * np.eye(nso)[None] - hl[None] - ig
+        out = d.reshape(L, cfg.nspin, cfg.norb, cfg.nspin, cfg.norb
+                        ).transpose(1, 3, 2, 4, 0)
+    return out
+
+
+def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
+               hloc: np.ndarray, ispin: Optional[int] = None,
+               iorb: Optional[int] = None, fg_an=None,
+               mask=None, suffix: str = "", log=None,
+               save: bool = True) -> np.ndarray:
+    """Fit the bath to the target function fg [Nspin,Nspin,Norb,Norb,Lmats]
+    (Weiss field if cg_scheme='weiss', hybridization Δ if 'delta';
+    fg_an: anomalous target for ed_mode='superc').
+
+    Returns the updated flat bath vector (ed_chi2_fitgf)."""
+    b = unpack_bath(cfg, bath_flat, mask)
+    ldelta = min(cfg.lfit, fg.shape[-1])
+    xw = np.pi / cfg.beta * (2 * np.arange(1, ldelta + 1) - 1)
+    x = jnp.asarray(1j * xw)
+    W = jnp.asarray(_weights(cfg, ldelta))
+    cmask = jnp.asarray(_component_mask(cfg, ispin, iorb, b.mask))
+    tgt = jnp.asarray(fg[..., :ldelta])
+    tgt_an = jnp.asarray(fg_an[..., :ldelta]) if fg_an is not None else None
+    hl = jnp.asarray(hloc)
+
+    x0, inject = _fit_pack(cfg, b, ispin, iorb)
+    base_p = {k: jnp.asarray(v) for k, v in
+              {"e": b.e, "d": b.d, "v": b.v, "u": b.u, "h": b.h,
+               "vr": b.vr}.items() if v is not None}
+
+    def make_obj(target, target_an, scheme):
+        def chi2(xv):
+            p = dict(base_p)
+            p.update(inject(xv))
+            if scheme == "weiss":
+                G = g0and(cfg, x, p, hl, "mats")
+                F = f0and(cfg, x, p, hl, "mats") \
+                    if cfg.ed_mode == "superc" else None
+            else:
+                G = delta(cfg, x, p, "mats")
+                F = fdelta(cfg, x, p, "mats") \
+                    if cfg.ed_mode == "superc" else None
+            r = (G - target) * cmask[..., None]
+            c = jnp.sum(jnp.abs(r) ** 2 / W)
+            if F is not None and target_an is not None:
+                ra = (F - target_an) * cmask[..., None]
+                c = c + jnp.sum(jnp.abs(ra) ** 2 / W)
+            return c
+
+        vg = jax.jit(jax.value_and_grad(chi2))
+
+        def fun(xv):
+            v, g = vg(jnp.asarray(xv))
+            return float(v), np.asarray(g, dtype=float)
+        return fun
+
+    opts = {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol * 1e-3,
+            "gtol": 1e-12}
+    fun = make_obj(tgt, tgt_an, cfg.cg_scheme)
+
+    if cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
+        # The weiss chi^2 landscape has strong collapse minima (V_k -> 0).
+        # Pre-condition by fitting the equivalent Δ target first (well
+        # behaved, nearly linear in V^2), then polish on the weiss objective.
+        dt = _delta_target_from_weiss(cfg, np.asarray(tgt), np.asarray(x),
+                                      hloc)
+        pre = minimize(make_obj(jnp.asarray(dt), None, "delta"), x0,
+                       jac=True, method="L-BFGS-B", options=opts)
+        x0 = pre.x
+    res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
+    # jittered restarts as a backstop against remaining local minima
+    if res.fun > 1e-9:
+        rng = np.random.default_rng(cfg.seed + 101)
+        scale = np.maximum(np.abs(res.x), 0.5)
+        for _ in range(3):
+            x0j = res.x + rng.normal(size=x0.shape) * scale * 0.5
+            r2 = minimize(fun, x0j, jac=True, method="L-BFGS-B", options=opts)
+            if r2.fun < res.fun:
+                res = r2
+            if res.fun <= 1e-9:
+                break
+    p_fit = dict(base_p)
+    p_fit.update(inject(jnp.asarray(res.x)))
+    for name in ("e", "d", "v", "u"):
+        if name in p_fit and getattr(b, name) is not None:
+            setattr(b, name, np.asarray(p_fit[name]))
+    if "h" in p_fit and b.h is not None:
+        b.h = np.asarray(p_fit["h"])
+        b.vr = np.asarray(p_fit["vr"]).astype(complex)
+    if log:
+        log(f"chi^2|iter{suffix}=  {res.fun:.9E} | {res.nit}")
+    try:
+        with open(f"chi2fit_results{suffix}.ed", "a") as fh:
+            fh.write(f"{res.fun:18.9E} {res.nit:5d}\n")
+    except OSError:
+        pass
+    if save:
+        save_bath(b, suffix=suffix)
+    return pack_bath(b)

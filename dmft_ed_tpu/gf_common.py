@@ -1,0 +1,96 @@
+"""Shared Krylov Green's-function machinery.
+
+Replaces ED_GF_SHARED.f90 + the per-module `add_to_lanczos_*` accumulators:
+the Lanczos resolvent of an excitation vector yields (weights, poles), and the
+spectral accumulation Σ_j w_j/(z - p_j) is one vectorized outer-product sum
+over all frequencies (ED_GF_NORMAL.f90:580-632 pole loop, vectorized per
+SURVEY.md §7 principle 6).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import EDConfig
+from .sectors import Sector
+from .bath import Bath
+from .eigenspace import StateList
+from .hamiltonian import (SectorHamiltonian, build_sector_hamiltonian,
+                          make_matvec, flatten_blocks, unflatten_blocks)
+from .lanczos import lanczos_tridiag, tridiag_eigh
+
+
+class HamCache:
+    """Per-solve cache of sector Hamiltonians + jitted matvecs
+    (the GF pass revisits each neighbor sector once per state/channel)."""
+
+    def __init__(self, cfg: EDConfig, bath: Bath, hloc: np.ndarray):
+        self.cfg, self.bath, self.hloc = cfg, bath, hloc
+        self._h: Dict[int, SectorHamiltonian] = {}
+        self._mv: Dict[int, callable] = {}
+
+    def matvec_flat(self, sector: Sector):
+        key = sector.index
+        if key not in self._mv:
+            ham = build_sector_hamiltonian(self.cfg, sector, self.bath,
+                                           self.hloc)
+            self._h[key] = ham
+            mvb, _ = make_matvec(ham, self.cfg)
+
+            def mv(x, _mvb=mvb, _sec=sector):
+                return flatten_blocks(_mvb(unflatten_blocks(x, _sec)))
+
+            self._mv[key] = mv
+        return self._mv[key]
+
+
+def krylov_poles(cfg: EDConfig, cache: HamCache, jsec: Sector,
+                 vvinit: np.ndarray, state_e: float,
+                 egs: float, zeta: float, finite_t: bool,
+                 cnorm2=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Tridiagonalize H_jsec from vvinit and return (weights, dE poles).
+
+    weights_j = pesoBZ * |<v0|ritz_j>|^2 with the Boltzmann prefactor
+    (add_to_lanczos_gf_normal, ED_GF_NORMAL.f90:580-615); poles are
+    dE_j = E_j - E_i (caller applies the ±isign and z-grid).
+    """
+    norm2 = float(np.real(np.vdot(vvinit, vvinit)))
+    if norm2 < 1e-300:
+        return np.zeros(0, dtype=complex), np.zeros(0)
+    v0 = jnp.asarray(vvinit / np.sqrt(norm2))
+    nlanc = min(jsec.dim, cfg.lanc_ngfiter)
+    mv = cache.matvec_flat(jsec)
+    alphas, betas, nsteps = lanczos_tridiag(mv, v0, nlanc)
+    n = max(int(nsteps), 1)
+    evals, Z = tridiag_eigh(np.asarray(alphas[:n]), np.asarray(betas[:n]))
+    beta_T = cfg.beta
+    if finite_t and beta_T * (state_e - egs) < 200:
+        peso_bz = np.exp(-beta_T * (state_e - egs)) / zeta
+    elif not finite_t:
+        peso_bz = 1.0 / zeta
+    else:
+        peso_bz = 0.0
+    amp = norm2 if cnorm2 is None else cnorm2 * norm2
+    weights = amp * peso_bz * Z[0, :] ** 2
+    poles = evals - state_e
+    return np.asarray(weights, dtype=complex), np.asarray(poles)
+
+
+def accumulate_poles(z: np.ndarray, weights: np.ndarray, poles: np.ndarray,
+                     isign: int) -> np.ndarray:
+    """G(z) += Σ_j w_j / (z - isign*dE_j), vectorized over (poles x freqs)."""
+    if weights.size == 0:
+        return np.zeros(z.shape, dtype=complex)
+    zz = jnp.asarray(z)[None, :]
+    pp = jnp.asarray(isign * poles)[:, None]
+    ww = jnp.asarray(weights)[:, None]
+    return np.asarray(jnp.sum(ww / (zz - pp), axis=0))
+
+
+def state_iter(slist: StateList):
+    """(sector, energy, flat vector) for each kept state (twin-reconstructed)."""
+    for s in slist:
+        yield s.sector, s.energy, np.asarray(s.get_vector())

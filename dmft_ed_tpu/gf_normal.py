@@ -1,0 +1,147 @@
+"""Impurity Green's functions and self-energy, ed_mode = normal.
+
+Replaces ED_GF_NORMAL.f90: diagonal G via c†/c excitations, orbital
+off-diagonals via (c†_i+c†_j) and (c†_i+i c†_j) combinations with symmetry
+reconstruction (:18-116, :279-553), pole accumulation (:580-632) and the
+Dyson self-energy (:656-731).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import EDConfig
+from .sectors import sector_table
+from .bath import Bath
+from .bath_fns import bath_params, invg0, g0and
+from .eigenspace import StateList
+from .excitations import apply_spin_op, apply_op_combo
+from .gf_common import HamCache, krylov_poles, accumulate_poles, state_iter
+from . import grids
+
+
+def _gf_shape(cfg, L):
+    return np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, L),
+                    dtype=complex)
+
+
+def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
+                    bath: Bath, hloc: np.ndarray, finite_t: bool,
+                    log=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (Gmats, Greal) [Nspin,Nspin,Norb,Norb,L]."""
+    table = sector_table(cfg)
+    cache = HamCache(cfg, bath, hloc)
+    zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
+    Gm, Gr = _gf_shape(cfg, cfg.lmats), _gf_shape(cfg, cfg.lreal)
+    egs = slist.emin
+
+    def channel(sector, vec, e_i, terms, isign):
+        """One excitation channel: apply op combo, Lanczos, accumulate."""
+        r = apply_op_combo(cfg, table, sector, vec, terms)
+        if r is None:
+            return None, None
+        jsec, vv = r
+        return krylov_poles(cfg, cache, jsec, vv, e_i, egs, zeta, finite_t)
+
+    # --- diagonal G_aa (lanc_build_gf_normal_c)
+    for ispin in range(cfg.nspin):
+        for iorb in range(cfg.norb):
+            if log:
+                log(f"Get G_l{iorb + 1}_s{ispin + 1}")
+            for sector, e_i, vec in state_iter(slist):
+                for dagger, isign in ((True, 1), (False, -1)):
+                    w, p = channel(sector, vec, e_i,
+                                   [(1.0, ispin, iorb, dagger)], isign)
+                    if w is None:
+                        continue
+                    Gm[ispin, ispin, iorb, iorb] += accumulate_poles(
+                        zm, w, p, isign)
+                    Gr[ispin, ispin, iorb, iorb] += accumulate_poles(
+                        zr, w, p, isign)
+
+    # --- orbital off-diagonals (lanc_build_gf_normal_mix_c)
+    offdiag = (cfg.bath_type != "normal") or cfg.ed_solve_offdiag_gf
+    if offdiag and cfg.norb > 1:
+        mask = _offdiag_mask(cfg, bath)
+        for ispin in range(cfg.nspin):
+            for iorb in range(cfg.norb):
+                for jorb in range(iorb + 1, cfg.norb):
+                    if not mask[ispin, iorb, jorb]:
+                        continue
+                    if log:
+                        log(f"Get G_l{iorb + 1}_m{jorb + 1}_s{ispin + 1}")
+                    for sector, e_i, vec in state_iter(slist):
+                        combos = [
+                            # (terms, cnorm2 multiplier, isign)
+                            ([(1.0, ispin, iorb, True),
+                              (1.0, ispin, jorb, True)], 1.0, 1),
+                            ([(1.0, ispin, iorb, False),
+                              (1.0, ispin, jorb, False)], 1.0, -1),
+                            ([(1.0, ispin, iorb, True),
+                              (1j, ispin, jorb, True)], -1j, 1),
+                            ([(1.0, ispin, iorb, False),
+                              (-1j, ispin, jorb, False)], -1j, -1),
+                        ]
+                        for terms, cn, isign in combos:
+                            r = apply_op_combo(cfg, table, sector, vec, terms)
+                            if r is None:
+                                continue
+                            jsec, vv = r
+                            w, p = krylov_poles(cfg, cache, jsec, vv, e_i,
+                                                egs, zeta, finite_t,
+                                                cnorm2=cn)
+                            Gm[ispin, ispin, iorb, jorb] += accumulate_poles(
+                                zm, w, p, isign)
+                            Gr[ispin, ispin, iorb, jorb] += accumulate_poles(
+                                zr, w, p, isign)
+                    # symmetry reconstruction (ED_GF_NORMAL.f90:52-71)
+                    for G, in ((Gm,), (Gr,)):
+                        G[ispin, ispin, iorb, jorb] = 0.5 * (
+                            G[ispin, ispin, iorb, jorb]
+                            - (1 - 1j) * G[ispin, ispin, iorb, iorb]
+                            - (1 - 1j) * G[ispin, ispin, jorb, jorb])
+                        G[ispin, ispin, jorb, iorb] = \
+                            G[ispin, ispin, iorb, jorb]
+    return Gm, Gr
+
+
+def _offdiag_mask(cfg: EDConfig, bath: Bath) -> np.ndarray:
+    """Which (spin, iorb, jorb) off-diagonal components to compute:
+    all for hybrid, replica gated by the bath mask (ED_GF_NORMAL.f90:38-42)."""
+    m = np.ones((cfg.nspin, cfg.norb, cfg.norb), dtype=bool)
+    if cfg.bath_type == "replica" and bath.mask is not None:
+        for s in range(cfg.nspin):
+            m[s] = bath.mask[s, s, :, :, 0] | bath.mask[s, s, :, :, 1]
+    return m
+
+
+def build_sigma_normal(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
+                       Gmats: np.ndarray, Greal: np.ndarray):
+    """Σ = G0^{-1} - G^{-1}; scalar per (spin,orb) for bath normal,
+    orbital-matrix Dyson for hybrid/replica (build_sigma_normal,
+    ED_GF_NORMAL.f90:656-731). Also returns G0 on both axes."""
+    p = bath_params(bath)
+    zm, zr = jnp.asarray(grids.z_mats(cfg)), jnp.asarray(grids.z_real(cfg))
+    ig0m = np.asarray(invg0(cfg, zm, p, hloc, "mats"))
+    ig0r = np.asarray(invg0(cfg, zr, p, hloc, "real"))
+    Sm = np.zeros_like(Gmats)
+    Sr = np.zeros_like(Greal)
+    if cfg.bath_type == "normal":
+        for s in range(cfg.nspin):
+            for a in range(cfg.norb):
+                Sm[s, s, a, a] = ig0m[s, s, a, a] - 1.0 / Gmats[s, s, a, a]
+                Sr[s, s, a, a] = ig0r[s, s, a, a] - 1.0 / Greal[s, s, a, a]
+    else:
+        for s in range(cfg.nspin):
+            gm = jnp.asarray(Gmats[s, s].transpose(2, 0, 1))
+            gr = jnp.asarray(Greal[s, s].transpose(2, 0, 1))
+            igm = np.asarray(jnp.linalg.inv(gm)).transpose(1, 2, 0)
+            igr = np.asarray(jnp.linalg.inv(gr)).transpose(1, 2, 0)
+            Sm[s, s] = ig0m[s, s] - igm
+            Sr[s, s] = ig0r[s, s] - igr
+    g0m = np.asarray(g0and(cfg, zm, p, hloc, "mats"))
+    g0r = np.asarray(g0and(cfg, zr, p, hloc, "real"))
+    return Sm, Sr, g0m, g0r
