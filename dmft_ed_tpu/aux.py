@@ -1,0 +1,94 @@
+"""Auxiliary helpers: index reshapes and chemical-potential search.
+
+Replaces ED_AUX_FUNX.f90: the lso<->nnn array reshapes (:181-447) and the
+secant ('charge compressibility') chemical-potential search
+(ed_search_variable, :487-561).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .config import EDConfig
+
+
+# ----------------------------------------------------------------------
+# reshapes between [Nspin,Nspin,Norb,Norb,...] and [Nso,Nso,...]
+# ----------------------------------------------------------------------
+
+def nn2so(f: np.ndarray, nspin: int, norb: int) -> np.ndarray:
+    """[Nspin,Nspin,Norb,Norb,(L)] -> [Nso,Nso,(L)] with io = a + s*Norb."""
+    nso = nspin * norb
+    if f.ndim == 4:
+        return f.transpose(0, 2, 1, 3).reshape(nso, nso)
+    return f.transpose(0, 2, 1, 3, 4).reshape(nso, nso, f.shape[-1])
+
+
+def so2nn(f: np.ndarray, nspin: int, norb: int) -> np.ndarray:
+    """[Nso,Nso,(L)] -> [Nspin,Nspin,Norb,Norb,(L)]."""
+    if f.ndim == 2:
+        return f.reshape(nspin, norb, nspin, norb).transpose(0, 2, 1, 3)
+    return f.reshape(nspin, norb, nspin, norb, f.shape[-1]
+                     ).transpose(0, 2, 1, 3, 4)
+
+
+def lso2nnn(f: np.ndarray, nlat: int, nspin: int, norb: int) -> np.ndarray:
+    """[Nlat*Nso, Nlat*Nso,(L)] -> [Nlat,Nspin,Nspin,Norb,Norb,(L)]
+    (site-diagonal part), io = a + s*Norb + ilat*Nspin*Norb."""
+    nso = nspin * norb
+    out_shape = (nlat, nspin, nspin, norb, norb) + f.shape[2:]
+    out = np.zeros(out_shape, dtype=f.dtype)
+    for i in range(nlat):
+        blk = f[i * nso:(i + 1) * nso, i * nso:(i + 1) * nso]
+        out[i] = so2nn(blk, nspin, norb)
+    return out
+
+
+# ----------------------------------------------------------------------
+# chemical potential search (secant on the density)
+# ----------------------------------------------------------------------
+
+def search_variable(cfg: EDConfig, var: float, ntmp: float, state: dict,
+                    log=None) -> Tuple[float, bool]:
+    """One step of the reference's compressibility-based mu search
+    (ed_search_variable). `state` is caller-held mutable memory across DMFT
+    iterations. Returns (new_var, density_converged)."""
+    count = state.get("count", 0) + 1
+    state["count"] = count
+    if count == 1:
+        chich = cfg.ndelta
+        if os.path.exists("var_compressibility.restart"):
+            with open("var_compressibility.restart") as fh:
+                chich = float(fh.read().split()[0])
+        state["chich"] = chich
+        state["var_old"] = var
+        state["nold"] = ntmp
+    else:
+        dv = var - state["var_old"]
+        if abs(dv) > 1e-12:
+            state["chich"] = (ntmp - state["nold"]) / dv
+    chich = state["chich"]
+    if abs(chich) < 1e-4:
+        chich = np.sign(chich or 1.0) * 1e-4
+    ndiff = ntmp - cfg.nread
+    var_new = var - ndiff / chich
+    state["nold"] = ntmp
+    state["var_old"] = var
+    if log:
+        log(f"n    = {ntmp:16.9f} | instead of {cfg.nread:15.9f}")
+        log(f"dn   = {ndiff:16.9E} / {cfg.nerr:16.9E}")
+        log(f"var  = {var_new:16.9f}")
+    try:
+        mode = "a" if count > 1 else "w"
+        with open("search_variable_iteration_info.ed", mode) as fh:
+            if count == 1:
+                fh.write("#var,ntmp,ndiff\n")
+            fh.write(f"{var_new} {ntmp} {ndiff}\n")
+        with open("var_compressibility.used", "w") as fh:
+            fh.write(f"{chich}\n")
+    except OSError:
+        pass
+    return float(var_new), bool(abs(ndiff) <= cfg.nerr)

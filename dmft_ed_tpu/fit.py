@@ -250,8 +250,10 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
                        jac=True, method="L-BFGS-B", options=opts)
         x0 = pre.x
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
-    # jittered restarts as a backstop against remaining local minima
-    if res.fun > 1e-9:
+    # Jittered restarts ONLY as a backstop against clearly-failed (cold-start)
+    # fits: inside a DMFT loop the warm start must be respected — random
+    # basin-hopping per iteration destroys the fixed-point convergence.
+    if res.fun > 1e-3:
         rng = np.random.default_rng(cfg.seed + 101)
         scale = np.maximum(np.abs(res.x), 0.5)
         for _ in range(3):

@@ -1,0 +1,228 @@
+"""Lattice layer of the DMFT loop.
+
+JAX-native replacement for the DMFT_Tools routines the reference drivers use
+(SURVEY.md §2b): ``dmft_gloc_matsubara/realaxis`` (DOS Hilbert transform and
+k-sum), ``dmft_self_consistency`` (weiss/delta update incl. Bethe shortcut),
+``dmft_kinetic_energy`` (with high-frequency tail corrections) and
+``check_convergence``. All frequency/k sums are batched einsums / batched
+matrix inverses on device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import EDConfig
+from . import grids
+
+
+# ----------------------------------------------------------------------
+# densities of states
+# ----------------------------------------------------------------------
+
+def bethe_dos(e: np.ndarray, w: float) -> np.ndarray:
+    """Semicircular DOS of half-bandwidth w (SciFortran dens_bethe)."""
+    x = np.clip(e / w, -1.0, 1.0)
+    return 2.0 / (np.pi * w) * np.sqrt(np.maximum(0.0, 1.0 - x * x))
+
+
+def bethe_bands(norb: int, wband, le: int = 500, h0=None):
+    """(Ebands [Nso, Le], Dbands [Nso, Le], H0 [Nso]) as in
+    drivers/ed_hm_bethe.f90:64-77 — Dbands includes the trapezoid measure."""
+    wband = np.broadcast_to(np.asarray(wband, dtype=float), (norb,))
+    h0 = np.zeros(norb) if h0 is None else np.asarray(h0, dtype=float)
+    eb = np.zeros((norb, le))
+    db = np.zeros((norb, le))
+    for a in range(norb):
+        e = np.linspace(-wband[a], wband[a], le)
+        de = e[1] - e[0]
+        eb[a] = e
+        db[a] = bethe_dos(e, wband[a]) * de
+    return eb, db, h0
+
+
+# ----------------------------------------------------------------------
+# local Green's function
+# ----------------------------------------------------------------------
+
+def gloc_dos(cfg: EDConfig, ebands, dbands, h0, sigma, axis="mats"):
+    """Gloc_a(z) = Σ_e D_a(e) / (z + mu - H0_a - e - Σ_aa(z)) — the
+    orbital-diagonal DOS-integral form used by the Bethe drivers
+    (dmft_gloc_matsubara w/ Ebands,Dbands)."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    z = jnp.asarray(z)
+    ns_, no = cfg.nspin, cfg.norb
+    G = np.zeros((ns_, ns_, no, no, z.shape[0]), dtype=complex)
+    for s in range(ns_):
+        for a in range(no):
+            zeta = z + cfg.xmu - h0[a] - jnp.asarray(sigma[s, s, a, a])
+            g = jnp.sum(jnp.asarray(dbands[a])[None, :]
+                        / (zeta[:, None] - jnp.asarray(ebands[a])[None, :]),
+                        axis=1)
+            G[s, s, a, a] = np.asarray(g)
+    return G
+
+
+def gloc_hk(cfg: EDConfig, hk, sigma, axis="mats", chunk=256):
+    """Gloc(z) = (1/Nk) Σ_k [(z+mu) - H(k) - Σ(z)]^{-1} over a k-grid.
+
+    hk: [Nso, Nso, Nk] complex. Batched matrix inversion, chunked over
+    frequencies to bound memory (dmft_gloc_matsubara k-sum form)."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    L = len(z)
+    hkT = jnp.asarray(hk).transpose(2, 0, 1)             # [Nk, nso, nso]
+    sig = jnp.asarray(sigma).transpose(4, 0, 2, 1, 3).reshape(L, nso, nso)
+
+    @jax.jit
+    def chunk_gloc(zc, sc):
+        zeta = (zc + cfg.xmu)[:, None, None] * jnp.eye(nso)[None] - sc
+        M = zeta[:, None, :, :] - hkT[None, :, :, :]     # [Lc, Nk, nso, nso]
+        return jnp.mean(jnp.linalg.inv(M), axis=1)
+
+    out = []
+    zj = jnp.asarray(z)
+    for i in range(0, L, chunk):
+        out.append(np.asarray(chunk_gloc(zj[i:i + chunk], sig[i:i + chunk])))
+    g = np.concatenate(out, axis=0)
+    return g.reshape(L, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+
+
+# ----------------------------------------------------------------------
+# self-consistency (dmft_self_consistency / dmft_weiss / dmft_delta)
+# ----------------------------------------------------------------------
+
+def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
+                     = None, wbands=None) -> np.ndarray:
+    """New Weiss field (sctype='weiss') or hybridization (sctype='delta').
+
+    weiss: G0^{-1} = Gloc^{-1} + Σ
+    delta: Δ = (z+mu) - Hloc - Σ - Gloc^{-1}
+    Bethe shortcut (wbands given): Δ_a = (W_a/2)^2 * Gloc_aa
+    (drivers/ed_hm_bethe.f90:118-122; DMFT_Tools dmft_self_consistency).
+    """
+    sctype = sctype or cfg.cg_scheme
+    z = jnp.asarray(grids.z_mats(cfg))
+    ns_, no = cfg.nspin, cfg.norb
+    L = gloc.shape[-1]
+    out = np.zeros_like(gloc)
+    if wbands is not None:
+        wb = np.broadcast_to(np.asarray(wbands, dtype=float), (no,))
+        for s in range(ns_):
+            for a in range(no):
+                d = (wb[a] / 2) ** 2 * gloc[s, s, a, a]
+                if sctype == "delta":
+                    out[s, s, a, a] = d
+                else:
+                    out[s, s, a, a] = 1.0 / (np.asarray(z) + cfg.xmu
+                                             - hloc[s, s, a, a] - d)
+        return out
+    diag_only = cfg.bath_type == "normal"
+    for s in range(ns_):
+        if diag_only:
+            for a in range(no):
+                gi = 1.0 / gloc[s, s, a, a]
+                if sctype == "weiss":
+                    out[s, s, a, a] = 1.0 / (gi + sigma[s, s, a, a])
+                else:
+                    out[s, s, a, a] = (np.asarray(z) + cfg.xmu
+                                       - hloc[s, s, a, a]
+                                       - sigma[s, s, a, a] - gi)
+        else:
+            g = jnp.asarray(gloc[s, s].transpose(2, 0, 1))
+            gi = np.asarray(jnp.linalg.inv(g))
+            if sctype == "weiss":
+                m = gi + sigma[s, s].transpose(2, 0, 1)
+                out[s, s] = np.asarray(jnp.linalg.inv(jnp.asarray(m))
+                                       ).transpose(1, 2, 0)
+            else:
+                zeta = (np.asarray(z) + cfg.xmu)[:, None, None] \
+                    * np.eye(no)[None]
+                d = zeta - hloc[s, s][None] \
+                    - sigma[s, s].transpose(2, 0, 1) - gi
+                out[s, s] = d.transpose(1, 2, 0)
+    return out
+
+
+# ----------------------------------------------------------------------
+# kinetic energy (dmft_kinetic_energy w/ tail corrections)
+# ----------------------------------------------------------------------
+
+def kinetic_energy(cfg: EDConfig, ebands, dbands, h0, sigma) -> float:
+    """E_kin = (2/beta)·2·Σ_{n>0} Σ_e D(e)(e+H0)·Re[...] with the standard
+    Matsubara tail corrections (cf. the get_energy reference implementation,
+    drivers/ed_hm_bethe.f90 appendix)."""
+    wm = grids.matsubara_fermionic(cfg)
+    beta = cfg.beta
+    ns_, no = cfg.nspin, cfg.norb
+    spin_fac = 2.0 if ns_ == 1 else 1.0
+    etot = 0.0
+    for s in range(ns_):
+        for a in range(no):
+            sig = np.asarray(sigma[s, s, a, a])
+            sig_hf = sig[-1].real
+            ek = np.asarray(ebands[a]) + h0[a]
+            wk = np.asarray(dbands[a])
+            Ak = ek
+            Bk = -ek - sig_hf
+            zw = 1j * wm + cfg.xmu
+            Gk = 1.0 / (zw[:, None] - ek[None, :] - sig[:, None])
+            Tk = 1.0 / (1j * wm)[:, None] - Bk[None, :] / (1j * wm[:, None]) ** 2
+            Ck = Ak[None, :] * (Gk - Tk)
+            h = np.sum((Ck * wk[None, :]).real) * 4.0 / beta
+            tail0 = 2 * np.sum(0.5 * Ak * wk)
+            tail1 = 2 * np.sum(0.25 * Ak * Bk * wk) * beta
+            etot += (h + tail0 + tail1) * spin_fac / 2.0
+    return float(etot)
+
+
+# ----------------------------------------------------------------------
+# convergence (DMFT_Tools check_convergence)
+# ----------------------------------------------------------------------
+
+class ConvergenceMonitor:
+    """err = Σ|X_new - X_old| / Σ|X_new|; converged after `nsuccess`
+    consecutive iterations below threshold."""
+
+    def __init__(self, threshold: float, nsuccess: int = 1,
+                 nloop: int = 100):
+        self.threshold = threshold
+        self.nsuccess = nsuccess
+        self.nloop = nloop
+        self._old = None
+        self._good = 0
+        self.count = 0
+        self.error = np.inf
+
+    def check(self, x, log=None) -> bool:
+        x = np.asarray(x)
+        self.count += 1
+        if self._old is None:
+            self._old = x.copy()
+            self.error = np.inf
+            if log:
+                log(f"error={self.error:.8E}")
+            return False
+        num = np.sum(np.abs(x - self._old))
+        den = np.sum(np.abs(x))
+        self.error = num / max(den, 1e-300)
+        self._old = x.copy()
+        if self.error <= self.threshold:
+            self._good += 1
+        else:
+            self._good = 0
+        conv = self._good >= self.nsuccess
+        if log:
+            log(f"error={self.error:.8E}"
+                + ("  [converged]" if conv else ""))
+        try:
+            with open("error.err", "a") as fh:
+                fh.write(f"{self.count} {self.error:.12E}\n")
+        except OSError:
+            pass
+        return conv or self.count >= self.nloop

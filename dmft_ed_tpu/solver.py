@@ -1,5 +1,221 @@
-"""Solver orchestration (placeholder; filled in as modules land)."""
+"""Solver orchestration: init + the fixed solve pipeline.
+
+Replaces ED_MAIN.f90: ``ed_init_solver`` (structure checks, bath
+allocation/init/pack, :61-152) and ``ed_solve`` (set bath -> diagonalize ->
+Green's functions -> susceptibilities -> observables -> local energy,
+:253-327). Lattice (inequivalent-site) variants live in lattice_solver.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .config import EDConfig
+from .bath import (Bath, init_bath, pack_bath, unpack_bath, replica_mask,
+                   get_bath_dimension, save_bath)
+from .diag import DiagState, diagonalize, write_state_list
+from .eigenspace import StateList
+from .observables import (compute_observables, local_energy,
+                          quasiparticle_weight, Observables, EnergyObs)
+from . import io as edio
+from . import grids
 
 
-class EDSolver:  # pragma: no cover - replaced shortly
-    pass
+@dataclass
+class SolveResult:
+    smats: np.ndarray = None
+    sreal: np.ndarray = None
+    gmats: np.ndarray = None
+    greal: np.ndarray = None
+    g0mats: np.ndarray = None
+    g0real: np.ndarray = None
+    # superc anomalous components
+    fmats: np.ndarray = None
+    freal: np.ndarray = None
+    f0mats: np.ndarray = None
+    f0real: np.ndarray = None
+    smats_an: np.ndarray = None
+    sreal_an: np.ndarray = None
+    observables: Observables = None
+    energy: EnergyObs = None
+    egs: float = 0.0
+    zeta: float = 1.0
+    nstates: int = 0
+    chi_spin: tuple = None
+    chi_dens: tuple = None
+    chi_pair: tuple = None
+
+
+def _default_log(msg):
+    print(msg, flush=True)
+
+
+class EDSolver:
+    """One impurity problem. Usage mirrors the reference driver flow:
+
+        cfg = read_input("inputED.in")
+        solver = EDSolver(cfg, hloc)
+        bath = solver.init_solver()          # flat user bath vector
+        ...
+        res = solver.solve(bath)             # -> SolveResult
+        bath = solver.chi2_fitgf(weiss, bath)
+    """
+
+    def __init__(self, cfg: EDConfig, hloc: Optional[np.ndarray] = None,
+                 suffix: str = "", log=None):
+        cfg.validate()
+        self.cfg = cfg
+        self.suffix = suffix
+        self.log = log if log is not None else (
+            _default_log if cfg.ed_verbose > 0 else lambda m: None)
+        if hloc is None:
+            hloc = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb))
+        self.hloc = np.asarray(hloc)
+        self.mask = replica_mask(cfg, self.hloc) \
+            if cfg.bath_type == "replica" else None
+        self.diag_state = DiagState(
+            lanc_nstates_total=cfg.lanc_nstates_total)
+        self.result: Optional[SolveResult] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def bath_dimension(self) -> int:
+        return get_bath_dimension(self.cfg, self.hloc)
+
+    def init_solver(self) -> np.ndarray:
+        """ed_init_solver: build + pack the initial bath."""
+        b = init_bath(self.cfg, self.hloc, self.suffix)
+        if self.mask is not None:
+            b.mask = self.mask
+        return pack_bath(b)
+
+    # ------------------------------------------------------------------
+    def solve(self, bath_flat: np.ndarray) -> SolveResult:
+        cfg = self.cfg
+        bath = unpack_bath(cfg, bath_flat, self.mask)
+        res = SolveResult()
+        # --- spectrum
+        slist, zeta, self.diag_state = diagonalize(
+            cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
+        finite_t = cfg.finite_t or self.diag_state.lanc_nstates_total > 1
+        finite_t = finite_t and len(slist) > 1
+        res.egs, res.zeta, res.nstates = slist.emin, zeta, len(slist)
+        write_state_list(cfg, slist, zeta, self.suffix)
+        # --- Green's functions + self-energy
+        if cfg.ed_mode == "normal":
+            from .gf_normal import build_gf_normal, build_sigma_normal
+            res.gmats, res.greal = build_gf_normal(
+                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+            res.smats, res.sreal, res.g0mats, res.g0real = \
+                build_sigma_normal(cfg, bath, self.hloc, res.gmats, res.greal)
+        elif cfg.ed_mode == "superc":
+            from .gf_superc import build_gf_superc, build_sigma_superc
+            (res.gmats, res.greal, res.fmats, res.freal) = build_gf_superc(
+                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+            (res.smats, res.sreal, res.smats_an, res.sreal_an,
+             res.g0mats, res.g0real, res.f0mats, res.f0real) = \
+                build_sigma_superc(cfg, bath, self.hloc, res.gmats, res.greal,
+                                   res.fmats, res.freal)
+        else:
+            from .gf_nonsu2 import build_gf_nonsu2, build_sigma_nonsu2
+            res.gmats, res.greal = build_gf_nonsu2(
+                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+            res.smats, res.sreal, res.g0mats, res.g0real = \
+                build_sigma_nonsu2(cfg, bath, self.hloc, res.gmats, res.greal)
+        # --- susceptibilities
+        if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag:
+            from . import chi as chi_mod
+            if cfg.chispin_flag:
+                res.chi_spin = chi_mod.build_chi_spin(
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                edio.write_chi(cfg, "spinChi", *res.chi_spin, self.suffix)
+            if cfg.chidens_flag:
+                res.chi_dens = chi_mod.build_chi_dens(
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                edio.write_chi(cfg, "densChi", *res.chi_dens, self.suffix)
+            if cfg.chipair_flag:
+                res.chi_pair = chi_mod.build_chi_pair(
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                edio.write_chi(cfg, "pairChi", *res.chi_pair, self.suffix)
+        # --- observables + local energy
+        res.observables = compute_observables(cfg, slist, zeta, bath,
+                                              self.hloc, finite_t)
+        res.energy = local_energy(cfg, slist, zeta, bath, self.hloc, finite_t)
+        simp, zimp = quasiparticle_weight(cfg, res.smats)
+        # --- file outputs (master-only in the reference; single-process here)
+        if cfg.ed_print_sigma:
+            edio.print_function(cfg, "Sigma", res.smats, res.sreal,
+                                self.suffix)
+            if res.smats_an is not None:
+                edio.print_function(cfg, "Self", res.smats_an, res.sreal_an,
+                                    self.suffix)
+        if cfg.ed_print_g:
+            edio.print_function(cfg, "G", res.gmats, res.greal, self.suffix)
+            if res.fmats is not None:
+                edio.print_function(cfg, "F", res.fmats, res.freal,
+                                    self.suffix)
+        if cfg.ed_print_g0:
+            edio.print_function(cfg, "G0", res.g0mats, res.g0real,
+                                self.suffix)
+            if res.f0mats is not None:
+                edio.print_function(cfg, "F0", res.f0mats, res.f0real,
+                                    self.suffix)
+        edio.write_observables(cfg, res.observables, res.egs, simp, zimp,
+                               self.suffix)
+        edio.write_energy(cfg, res.energy, self.suffix)
+        if self.log:
+            o = res.observables
+            self.log("dens=" + " ".join(f"{x:.9f}" for x in o.dens)
+                     + "  docc=" + " ".join(f"{x:.9f}" for x in o.docc)
+                     + f"  egs={res.egs:.9f}")
+        self.result = res
+        return res
+
+    # ------------------------------------------------------------------
+    def chi2_fitgf(self, fg, bath_flat: np.ndarray, ispin=None, iorb=None,
+                   fg_an=None) -> np.ndarray:
+        from .fit import chi2_fitgf
+        return chi2_fitgf(self.cfg, fg, bath_flat, self.hloc, ispin=ispin,
+                          iorb=iorb, fg_an=fg_an, mask=self.mask,
+                          suffix=self.suffix, log=self.log)
+
+    # ------------------------------------------------------------------
+    # ed_get_* accessors (ED_IO.f90:274-327)
+    def get_sigma_matsubara(self):
+        return self.result.smats
+
+    def get_sigma_realaxis(self):
+        return self.result.sreal
+
+    def get_self_matsubara(self):
+        return self.result.smats_an
+
+    def get_gimp_matsubara(self):
+        return self.result.gmats
+
+    def get_gimp_realaxis(self):
+        return self.result.greal
+
+    def get_dens(self):
+        return self.result.observables.dens
+
+    def get_docc(self):
+        return self.result.observables.docc
+
+    def get_mag(self):
+        return self.result.observables.magz
+
+    def get_phisc(self):
+        return self.result.observables.phisc
+
+    def get_eimp(self):
+        E = self.result.energy
+        return np.array([E.epot, E.eknot, E.ehartree, E.epot - E.ehartree])
+
+    def get_doubles(self):
+        E = self.result.energy
+        return np.array([E.dust, E.dund, E.dse, E.dph])

@@ -1,0 +1,56 @@
+"""End-to-end DMFT: the canonical ed_hm_bethe workload (SURVEY.md §4 level 3).
+
+Known Bethe-lattice physics anchors (half-bandwidth D=1):
+  * half filling is pinned by particle-hole symmetry (hfmode, xmu=0)
+  * Re Σ(iω) ≈ 0 at half filling
+  * U=2: correlated metal — docc well below the U=0 value 0.25, well above 0
+  * kinetic energy reduced in magnitude from the U=0 value -4/(3π)·... ≈ -0.424
+"""
+
+import numpy as np
+import pytest
+
+from dmft_ed_tpu.config import EDConfig
+from dmft_ed_tpu.models import hm_bethe
+
+
+@pytest.fixture
+def rundir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_bethe_half_filling_metal(rundir):
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(2.0,), beta=100.0,
+                   lmats=300, lreal=100, lfit=300, nloop=25, dmft_error=1e-5,
+                   ed_verbose=0, lanc_dim_threshold=1024).validate()
+    r = hm_bethe.run(cfg, le=250, wbethe=1.0, wmixing=0.5,
+                     log=lambda m: None)
+    assert r.error < 1e-4, f"DMFT did not converge: err={r.error}"
+    np.testing.assert_allclose(r.dens, [1.0], atol=1e-3)
+    assert 0.03 < r.docc[0] < 0.15, r.docc
+    # particle-hole symmetry: real part of Sigma vanishes
+    assert np.max(np.abs(r.smats[0, 0, 0, 0].real)) < 5e-3
+    # kinetic energy between U=0 value (-0.424) and 0
+    assert -0.45 < r.ekin < -0.1, r.ekin
+    # output file contract
+    import os
+    assert os.path.exists("impSigma_l11_s1_iw.ed")
+    assert os.path.exists("impG_l11_s1_iw.ed")
+    assert os.path.exists("observables_last.ed")
+    assert os.path.exists("hamiltonian.restart")
+    assert os.path.exists("state_list.ed")
+
+
+def test_bethe_restart_roundtrip(rundir):
+    """Bath restart file lets a fresh solver resume with the converged bath."""
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(1.5,), beta=50.0,
+                   lmats=150, lreal=50, lfit=150, nloop=15, dmft_error=1e-4,
+                   ed_verbose=0, lanc_dim_threshold=1024).validate()
+    r1 = hm_bethe.run(cfg, le=150, wbethe=1.0, wmixing=0.5,
+                      log=lambda m: None)
+    # fresh run must pick up hamiltonian.restart and converge quickly
+    r2 = hm_bethe.run(cfg, le=150, wbethe=1.0, wmixing=0.5,
+                      log=lambda m: None)
+    assert r2.iterations <= max(4, r1.iterations // 2)
+    np.testing.assert_allclose(r1.docc, r2.docc, atol=1e-3)
