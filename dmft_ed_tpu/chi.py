@@ -1,0 +1,196 @@
+"""Susceptibilities χ_spin, χ_dens, χ_pair in τ, iν and ω domains.
+
+Replaces ED_GF_CHISPIN.f90 / ED_GF_CHIDENS.f90 / ED_GF_CHIPAIR.f90: apply the
+(Hermitian) probe operator to each kept state, one Lanczos tridiagonalization
+in the same (or pair-shifted) sector, then the bosonic spectral accumulation
+— both isign=±1 reductions from the single tridiagonalization, with the
+β·peso zero-frequency limit (add_to_lanczos_spinChi, :254-323).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from .config import EDConfig
+from .sectors import sector_table
+from .bath import Bath
+from .eigenspace import StateList
+from .excitations import apply_diag_op, apply_spin_op
+from .gf_common import HamCache, state_iter
+from .lanczos import lanczos_tridiag, tridiag_eigh
+from . import grids
+
+import jax.numpy as jnp
+
+
+class _BoseAccum:
+    """Accumulation grids + the per-channel reduction."""
+
+    def __init__(self, cfg: EDConfig, nrow: int):
+        self.cfg = cfg
+        self.tau = grids.imaginary_time(cfg)
+        self.vm = grids.matsubara_bosonic(cfg)
+        self.wr = grids.real_axis(cfg)
+        self.chi_tau = np.zeros((nrow, len(self.tau)))
+        self.chi_iv = np.zeros((nrow, len(self.vm)), dtype=complex)
+        self.chi_w = np.zeros((nrow, len(self.wr)), dtype=complex)
+
+    def add(self, row, peso_f, e_i, egs, alphas, betas, finite_t):
+        """Both isign=±1 reductions of one tridiagonalization
+        (add_to_lanczos_spinChi, ED_GF_CHISPIN.f90:254-323)."""
+        cfg = self.cfg
+        n = len(alphas)
+        evals, Z = tridiag_eigh(alphas, betas)
+        beta = cfg.beta
+        peso_bz = np.exp(-beta * (e_i - egs)) if finite_t else 1.0
+        for j in range(n):
+            dE = evals[j] - e_i
+            peso = np.real(peso_f) * Z[0, j] ** 2 * peso_bz
+            if peso == 0.0:
+                continue
+            ebde = np.exp(-beta * dE) if beta * dE < 200 else 0.0
+            # zero bosonic frequency: both isigns contribute identically
+            if beta * dE < 1e-1:
+                self.chi_iv[row, 0] += 2 * peso * beta
+            else:
+                self.chi_iv[row, 0] += 2 * peso * (1 - ebde) / dE
+            iv = 1j * self.vm[1:]
+            self.chi_iv[row, 1:] += peso * (ebde - 1.0) / (iv - dE)   # +1
+            self.chi_iv[row, 1:] += peso * (1.0 - ebde) / (iv + dE)   # -1
+            e1 = np.exp(np.clip(-self.tau * dE, -200, 200))
+            e2 = np.exp(np.clip(-(beta - self.tau) * dE, -200, 200))
+            self.chi_tau[row] += peso * (e1 + e2)
+            zw = self.wr + 1j * cfg.eps
+            self.chi_w[row] += peso * (ebde - 1.0) / (zw - dE)
+            self.chi_w[row] += peso * (1.0 - ebde) / (zw + dE)
+
+
+def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
+                 hloc, finite_t: bool, rows, apply_fn: Callable, log=None):
+    """rows: list of (row_index, state->vector builder)."""
+    table = sector_table(cfg)
+    cache = HamCache(cfg, bath, hloc)
+    nrow = max(r for r, _ in rows) + 1
+    acc = _BoseAccum(cfg, nrow)
+    egs = slist.emin
+    for row, build in rows:
+        for sector, e_i, vec in state_iter(slist):
+            r = build(sector, vec)
+            if r is None:
+                continue
+            jsec, vv = r
+            norm2 = float(np.real(np.vdot(vv, vv)))
+            if norm2 < 1e-30:
+                continue
+            v0 = jnp.asarray(vv / np.sqrt(norm2))
+            nlanc = min(jsec.dim, cfg.lanc_ngfiter)
+            mv = cache.matvec_flat(jsec)
+            alphas, betas, nsteps = lanczos_tridiag(mv, v0, nlanc)
+            nn = max(int(nsteps), 1)
+            acc.add(row, norm2 / zeta, e_i, egs,
+                    np.asarray(alphas[:nn]), np.asarray(betas[:nn]),
+                    finite_t)
+    return acc.chi_tau, acc.chi_iv, acc.chi_w
+
+
+def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                   log=None):
+    """χ^z_aa = <Sz_a(τ) Sz_a(0)> per orbital + total (build_chi_spin).
+    Returns arrays [Norb(+1 tot), Norb broadcast, L] shaped [N, N, L]-like:
+    here (rows = orbitals + total) mapped to [Norb+t, Norb+t] diag layout."""
+    if log:
+        log("Get impurity spin Chi:")
+    ns = cfg.ns
+
+    def sz_op(a):
+        def build(sector, vec):
+            up = np.zeros(ns)
+            dw = np.zeros(ns)
+            up[a], dw[a] = 0.5, -0.5
+            return sector, apply_diag_op(cfg, sector, vec, up, dw)
+        return build
+
+    def sz_tot(sector, vec):
+        up = np.zeros(ns)
+        dw = np.zeros(ns)
+        up[:cfg.norb], dw[:cfg.norb] = 0.5, -0.5
+        return sector, apply_diag_op(cfg, sector, vec, up, dw)
+
+    rows = [(a, sz_op(a)) for a in range(cfg.norb)]
+    if cfg.norb > 1:
+        rows.append((cfg.norb, sz_tot))
+    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                                 rows, None, log)
+    return _to_matrix(cfg, tau_, iv_, w_)
+
+
+def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                   log=None):
+    """χ_nn diagonal + total (build_chi_dens; the redundant off-diagonal
+    cross-check channels of the reference are omitted — χ_ab can be formed
+    from the (n_a+n_b) channel when needed)."""
+    if log:
+        log("Get impurity dens Chi:")
+    ns = cfg.ns
+
+    def n_op(a):
+        def build(sector, vec):
+            up = np.zeros(ns)
+            dw = np.zeros(ns)
+            up[a] = dw[a] = 1.0
+            return sector, apply_diag_op(cfg, sector, vec, up, dw)
+        return build
+
+    def n_tot(sector, vec):
+        up = np.zeros(ns)
+        dw = np.zeros(ns)
+        up[:cfg.norb] = dw[:cfg.norb] = 1.0
+        return sector, apply_diag_op(cfg, sector, vec, up, dw)
+
+    rows = [(a, n_op(a)) for a in range(cfg.norb)]
+    if cfg.norb > 1:
+        rows.append((cfg.norb, n_tot))
+    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                                 rows, None, log)
+    return _to_matrix(cfg, tau_, iv_, w_)
+
+
+def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                   log=None):
+    """χ_pair_aa with the pair operator Δ_a = c_{a,dw} c_{a,up}
+    (build_chi_pair; ED_GF_CHIPAIR.f90:60-130)."""
+    if log:
+        log("Get impurity pair Chi:")
+    table = sector_table(cfg)
+
+    def pair_op(a):
+        def build(sector, vec):
+            r1 = apply_spin_op(cfg, table, sector, vec, 0, a, False)  # c_up
+            if r1 is None:
+                return None
+            j1, w1 = r1
+            r2 = apply_spin_op(cfg, table, j1, w1, 1, a, False)       # c_dw
+            if r2 is None:
+                return None
+            return r2
+        return build
+
+    rows = [(a, pair_op(a)) for a in range(cfg.norb)]
+    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                                 rows, None, log)
+    return _to_matrix(cfg, tau_, iv_, w_)
+
+
+def _to_matrix(cfg, tau_, iv_, w_):
+    """rows -> [N, N, L] diagonal matrices for the io layer (row Norb = tot
+    stored at the (Norb-1, Norb-1)+... kept as extra diagonal entry)."""
+    n = tau_.shape[0]
+    out = []
+    for arr in (tau_, iv_, w_):
+        m = np.zeros((n, n) + arr.shape[1:], dtype=arr.dtype)
+        for i in range(n):
+            m[i, i] = arr[i]
+        out.append(m)
+    return tuple(out)

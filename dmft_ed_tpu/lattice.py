@@ -93,6 +93,68 @@ def gloc_hk(cfg: EDConfig, hk, sigma, axis="mats", chunk=256):
     return g.reshape(L, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
 
 
+def gloc_superc_dos(cfg: EDConfig, ebands, dbands, h0, sigma, sigma_an,
+                    axis="mats"):
+    """Nambu local GF from the DOS integral (dmft_gloc_matsubara superc;
+    H_nambu = [[ξ+Σ, Σᴬ], [Σᴬ, -ξ-Σ]] as in ed_ahm_disorder.f90:253-256):
+        det = (z+mu-e-Σ)(z-mu+e+Σ̄) - Σᴬ²
+        G   = ∫ D(e) (z-mu+e+Σ̄)/det ,  F = +∫ D(e) Σᴬ/det
+    where Σ̄(z) = conj(Σ(z)) on the imaginary axis and -conj(Σ(-z)) on the
+    real axis. Returns (G, F)."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    G = np.zeros((ns_, ns_, no, no, z.shape[0]), dtype=complex)
+    F = np.zeros_like(G)
+    for s in range(ns_):
+        for a in range(no):
+            sig = sigma[s, s, a, a]
+            sa = sigma_an[s, s, a, a]
+            if axis == "mats":
+                sig_bar = np.conj(sig)
+            else:
+                sig_bar = -np.conj(sig[::-1])
+            e = ebands[a][None, :]
+            d = dbands[a][None, :]
+            z1 = (z + cfg.xmu - h0[a] - sig)[:, None] - e
+            z2 = (z - cfg.xmu + h0[a] + sig_bar)[:, None] + e
+            det = z1 * z2 - (sa ** 2)[:, None]
+            G[s, s, a, a] = np.sum(d * z2 / det, axis=1)
+            F[s, s, a, a] = np.sum(d * sa[:, None] / det, axis=1)
+    return G, F
+
+
+def self_consistency_superc(cfg: EDConfig, gloc, floc, sigma, sigma_an,
+                            hloc, sctype: Optional[str] = None):
+    """Nambu Weiss/Delta update (dmft_self_consistency superc form used by
+    drivers/ed_ahm_bethe.f90:92-96). Returns (weiss_normal, weiss_anomalous)
+    — for sctype='delta' these are (Δ, FΔ)."""
+    sctype = sctype or cfg.cg_scheme
+    z = grids.z_mats(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    Wn = np.zeros_like(gloc)
+    Wa = np.zeros_like(floc)
+    for s in range(ns_):
+        for a in range(no):
+            g, f = gloc[s, s, a, a], floc[s, s, a, a]
+            sig, sa = sigma[s, s, a, a], sigma_an[s, s, a, a]
+            # invert the local Nambu matrix [[g, f], [f, -g*]]
+            det = -np.abs(g) ** 2 - f ** 2
+            gi11 = -np.conj(g) / det
+            gi12 = -f / det
+            # calG0^{-1} = Gloc^{-1} + Sigma
+            c11 = gi11 + sig
+            c12 = gi12 + sa
+            c22 = -np.conj(c11)
+            if sctype == "weiss":
+                det0 = c11 * c22 - c12 ** 2
+                Wn[s, s, a, a] = c22 / det0
+                Wa[s, s, a, a] = -c12 / det0
+            else:
+                Wn[s, s, a, a] = (z + cfg.xmu - hloc[s, s, a, a] - c11)
+                Wa[s, s, a, a] = -c12
+    return Wn, Wa
+
+
 # ----------------------------------------------------------------------
 # self-consistency (dmft_self_consistency / dmft_weiss / dmft_delta)
 # ----------------------------------------------------------------------

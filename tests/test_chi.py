@@ -1,0 +1,108 @@
+"""Susceptibilities vs exact full-Fock Lehmann (spin/dens/pair probes)."""
+
+import numpy as np
+import pytest
+
+from dmft_ed_tpu.config import EDConfig
+from dmft_ed_tpu.bath import Bath
+from dmft_ed_tpu.diag import diagonalize
+from dmft_ed_tpu import chi as chi_mod
+from dmft_ed_tpu import grids
+from dmft_ed_tpu.hamiltonian import single_particle_parts
+
+import reference_ed as ref
+
+
+def _setup():
+    cfg = EDConfig(norb=1, nbath=2, nspin=1, uloc=(2.0,), beta=20.0,
+                   lmats=8, lreal=12, ltau=25, wini=-4, wfin=4,
+                   lanc_dim_threshold=10 ** 6, lanc_ngfiter=150).validate()
+    rng = np.random.default_rng(51)
+    bath = Bath(cfg)
+    bath.e[:] = np.array([-0.7, 0.6])[None, None, :]
+    bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 1, 1))
+    return cfg, bath, hloc
+
+
+def _exact_chi(cfg, bath, hloc, op_builder):
+    """chi(tau), chi(iv), chi(w) by dense Lehmann with the reference's
+    accumulation conventions (both isign branches, /Z)."""
+    ns = cfg.ns
+    states = list(range(4 ** ns))
+    Tuu, Tdd, Tud, P = single_particle_parts(cfg, bath, hloc)
+    H = ref.build_full_H(ns, cfg.norb, Tuu, Tdd, Tud, P,
+                         np.asarray(cfg.uloc_arr[:cfg.norb]), cfg.ust,
+                         cfg.jh, cfg.jx, cfg.jp, cfg.hfmode, states)
+    evals, U = np.linalg.eigh(H)
+    psi0 = U[:, 0]
+    O = op_builder(states, ns)
+    Ov = O @ psi0
+    amps = U.conj().T @ Ov                     # <m|O|0>
+    dE = evals - evals[0]
+    w2 = np.abs(amps) ** 2
+    tau = grids.imaginary_time(cfg)
+    vm = grids.matsubara_bosonic(cfg)
+    wr = grids.real_axis(cfg)
+    beta = cfg.beta
+    chi_tau = np.zeros(len(tau))
+    chi_iv = np.zeros(len(vm), dtype=complex)
+    chi_w = np.zeros(len(wr), dtype=complex)
+    for m in range(len(evals)):
+        p, d = w2[m], dE[m]
+        if p < 1e-14:
+            continue
+        ebde = np.exp(-beta * d) if beta * d < 200 else 0.0
+        chi_tau += p * (np.exp(np.clip(-tau * d, -200, 200))
+                        + np.exp(np.clip(-(beta - tau) * d, -200, 200)))
+        if beta * d < 1e-1:
+            chi_iv[0] += 2 * p * beta
+        else:
+            chi_iv[0] += 2 * p * (1 - ebde) / d
+        chi_iv[1:] += p * (ebde - 1) / (1j * vm[1:] - d)
+        chi_iv[1:] += p * (1 - ebde) / (1j * vm[1:] + d)
+        zw = wr + 1j * cfg.eps
+        chi_w += p * (ebde - 1) / (zw - d)
+        chi_w += p * (1 - ebde) / (zw + d)
+    return chi_tau, chi_iv, chi_w
+
+
+def _sz_builder(states, ns):
+    occ_u = np.array([(s >> 0) & 1 for s in states], dtype=float)
+    occ_d = np.array([(s >> ns) & 1 for s in states], dtype=float)
+    return np.diag(0.5 * (occ_u - occ_d))
+
+
+def _n_builder(states, ns):
+    occ_u = np.array([(s >> 0) & 1 for s in states], dtype=float)
+    occ_d = np.array([(s >> ns) & 1 for s in states], dtype=float)
+    return np.diag(occ_u + occ_d)
+
+
+def _pair_builder(states, ns):
+    dim = len(states)
+    O = np.zeros((dim, dim))
+    for col, s in enumerate(states):
+        r1 = ref.c_op(0, s)          # c_up
+        if r1 is None:
+            continue
+        s1, g1 = r1
+        r2 = ref.c_op(ns, s1)        # c_dw
+        if r2 is None:
+            continue
+        O[r2[0], col] = g1 * r2[1]
+    return O
+
+
+@pytest.mark.parametrize("which,builder", [
+    ("spin", _sz_builder), ("dens", _n_builder), ("pair", _pair_builder)])
+def test_chi_vs_exact(which, builder):
+    cfg, bath, hloc = _setup()
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    fn = {"spin": chi_mod.build_chi_spin, "dens": chi_mod.build_chi_dens,
+          "pair": chi_mod.build_chi_pair}[which]
+    ct, ci, cw = fn(cfg, slist, zeta, bath, hloc, False)
+    et, ei, ew = _exact_chi(cfg, bath, hloc, builder)
+    np.testing.assert_allclose(ct[0, 0], et, atol=1e-7)
+    np.testing.assert_allclose(ci[0, 0], ei, atol=1e-7)
+    np.testing.assert_allclose(cw[0, 0], ew, atol=1e-7)
