@@ -184,6 +184,19 @@ def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
                     out[s, s, a, a] = 1.0 / (np.asarray(z) + cfg.xmu
                                              - hloc[s, s, a, a] - d)
         return out
+    if cfg.ed_mode == "nonsu2":
+        # full (Nspin*Norb) matrix update including spin off-diagonals
+        nso = ns_ * no
+        g = gloc.transpose(4, 0, 2, 1, 3).reshape(L, nso, nso)
+        sg = sigma.transpose(4, 0, 2, 1, 3).reshape(L, nso, nso)
+        hl = hloc.transpose(0, 2, 1, 3).reshape(nso, nso)
+        gi = np.linalg.inv(g)
+        if sctype == "weiss":
+            w = np.linalg.inv(gi + sg)
+        else:
+            zeta = (np.asarray(z) + cfg.xmu)[:, None, None] * np.eye(nso)[None]
+            w = zeta - hl[None] - sg - gi
+        return w.reshape(L, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
     diag_only = cfg.bath_type == "normal"
     for s in range(ns_):
         if diag_only:
@@ -209,6 +222,91 @@ def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
                     - sigma[s, s].transpose(2, 0, 1) - gi
                 out[s, s] = d.transpose(1, 2, 0)
     return out
+
+
+# ----------------------------------------------------------------------
+# real-space (inequivalent-site) local GF — the ed_nano-class layer
+# ----------------------------------------------------------------------
+
+def gloc_realspace(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
+                   axis: str = "mats", chunk: int = 64) -> np.ndarray:
+    """Site-resolved local GF of a finite real-space Hamiltonian:
+
+        G(z) = [(z+mu) I - Hij - Σ(z)]^{-1},  Σ block-diagonal per site
+
+    hij: [Nlso, Nlso] (Nlso = Nlat*Nspin*Norb, io = a + s*Norb + ilat*Nso);
+    sigma_lat: [Nlat, Nspin, Nspin, Norb, Norb, L].
+    Returns site-diagonal blocks [Nlat, Nspin, Nspin, Norb, Norb, L]
+    (dmft_gloc_matsubara(Hij,[1d0],...) as used by drivers/ed_nano.f90:275).
+    Batched matrix inversion on device, chunked over frequencies.
+    """
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    assert hij.shape[0] == nlso
+    L = len(z)
+    # assemble block-diagonal Sigma in the lattice-spin-orbital basis
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    out = np.zeros((nlat, ns_, ns_, no, no, L), dtype=complex)
+    hij_j = jnp.asarray(hij)
+
+    @jax.jit
+    def invert(zc, sc):
+        # sc: [Lc, nlat, nso, nso] -> block diag [Lc, nlso, nlso]
+        Lc = zc.shape[0]
+        S = jnp.zeros((Lc, nlso, nlso), dtype=jnp.complex128)
+        for i in range(nlat):
+            S = S.at[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso].set(
+                sc[:, i])
+        M = ((zc + cfg.xmu)[:, None, None] * jnp.eye(nlso)[None]
+             - hij_j[None] - S)
+        return jnp.linalg.inv(M)
+
+    for i0 in range(0, L, chunk):
+        zc = jnp.asarray(z[i0:i0 + chunk])
+        sc = jnp.asarray(sig_so[..., i0:i0 + chunk].transpose(3, 0, 1, 2))
+        G = np.asarray(invert(zc, sc))
+        for i in range(nlat):
+            blk = G[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso]
+            out[i, ..., i0:i0 + chunk] = blk.reshape(
+                -1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+    return out
+
+
+def kinetic_energy_realspace(cfg: EDConfig, hij: np.ndarray,
+                             sigma_lat: np.ndarray) -> float:
+    """E_kin of a finite real-space system (dmft_kinetic_energy(Hij,[1],S)):
+    (2/beta)Σ_n Tr[Hij G(iw_n)] + tail corrections."""
+    wm = grids.matsubara_fermionic(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    spin_fac = 2.0 if ns_ == 1 else 1.0
+    sig_hf = np.zeros((nlso, nlso))
+    for i in range(nlat):
+        sig_hf[i * nso:(i + 1) * nso, i * nso:(i + 1) * nso] = \
+            np.real(sigma_lat[i, ..., -1].transpose(0, 2, 1, 3
+                                                    ).reshape(nso, nso))
+    Hk = hij + 0.0
+    Ak = Hk
+    Bk = -Hk - sig_hf
+    acc = 0.0
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, -1)
+    for n, w in enumerate(wm):
+        zw = 1j * w + cfg.xmu
+        S = np.zeros((nlso, nlso), dtype=complex)
+        for i in range(nlat):
+            S[i * nso:(i + 1) * nso, i * nso:(i + 1) * nso] = sig_so[i, :, :, n]
+        G = np.linalg.inv(zw * np.eye(nlso) - Hk - S)
+        Tk = np.eye(nlso) / (1j * w) - Bk / (1j * w) ** 2
+        acc += np.real(np.trace(Ak @ (G - Tk)))
+    e = acc * 4.0 / cfg.beta
+    e += 2 * np.trace(0.5 * Ak)
+    e += 2 * np.trace(0.25 * Ak @ Bk) * cfg.beta
+    return float(e * spin_fac / 2.0 / nlat)
 
 
 # ----------------------------------------------------------------------

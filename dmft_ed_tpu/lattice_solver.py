@@ -1,0 +1,77 @@
+"""Inequivalent-site (real-space DMFT) solver layer.
+
+Replaces ED_MAIN.f90's lattice variants (:344-681): a stack of independent
+impurity solvers, one per inequivalent site, each with its own
+``_ineq####`` file suffix. The reference distributes sites round-robin over
+MPI ranks (ED_MAIN.f90:576-678); here sites are solved as an independent
+batch (host loop now; the sector solves are device-jitted and independent,
+so site-level dispatch over a 'sites' mesh axis composes naturally —
+parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .config import EDConfig
+from .solver import EDSolver, SolveResult
+from .bath import break_symmetry_bath
+
+
+class LatticeEDSolver:
+    """N_ineq impurity solvers sharing one config.
+
+    hloc_ineq: [Nineq, Nspin, Nspin, Norb, Norb].
+    """
+
+    def __init__(self, cfg: EDConfig, hloc_ineq: np.ndarray, log=None):
+        self.cfg = cfg
+        self.nineq = hloc_ineq.shape[0]
+        self.solvers: List[EDSolver] = [
+            EDSolver(cfg, hloc_ineq[i], suffix=f"_ineq{i + 1:04d}", log=log)
+            for i in range(self.nineq)]
+        self.results: Optional[List[SolveResult]] = None
+
+    def init_solvers(self, sb_field_sign: Optional[Sequence[int]] = None
+                     ) -> np.ndarray:
+        """[Nineq, Nb] initial bath stack (ed_init_solver lattice)."""
+        baths = np.stack([s.init_solver() for s in self.solvers])
+        if sb_field_sign is not None and self.cfg.nspin > 1:
+            for i, sgn in enumerate(sb_field_sign):
+                baths[i] = break_symmetry_bath(
+                    self.cfg, baths[i], self.cfg.sb_field, float(sgn),
+                    self.solvers[i].mask)
+        return baths
+
+    def solve(self, baths: np.ndarray) -> List[SolveResult]:
+        self.results = [s.solve(baths[i])
+                        for i, s in enumerate(self.solvers)]
+        return self.results
+
+    # stacked getters (ed_get_*_lattice, ED_IO)
+    def get_sigma_matsubara(self) -> np.ndarray:
+        return np.stack([r.smats for r in self.results])
+
+    def get_sigma_realaxis(self) -> np.ndarray:
+        return np.stack([r.sreal for r in self.results])
+
+    def get_gimp_matsubara(self) -> np.ndarray:
+        return np.stack([r.gmats for r in self.results])
+
+    def get_dens(self) -> np.ndarray:
+        return np.stack([r.observables.dens for r in self.results])
+
+    def get_docc(self) -> np.ndarray:
+        return np.stack([r.observables.docc for r in self.results])
+
+    def get_mag(self) -> np.ndarray:
+        return np.stack([r.observables.magz for r in self.results])
+
+    def chi2_fitgf(self, weiss_ineq: np.ndarray, baths: np.ndarray,
+                   ispin=None) -> np.ndarray:
+        out = np.empty_like(baths)
+        for i, s in enumerate(self.solvers):
+            out[i] = s.chi2_fitgf(weiss_ineq[i], baths[i], ispin=ispin)
+        return out

@@ -1,0 +1,134 @@
+"""Real-space DMFT for nanostructures (drivers/ed_nano.f90; BASELINE config 5
+with hm_square_lattice).
+
+Given a finite tight-binding Hamiltonian ``Hij [Nlso, Nlso]`` and a
+site-symmetry map ``lat2ineq [Nlat]`` (0-based inequivalent index per site),
+runs the inequivalent-site DMFT loop: solve each inequivalent impurity,
+spread Σ to all sites, invert the real-space lattice GF, update per-site
+Weiss fields, fit baths (ed_nano.f90:236-320).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import EDConfig
+from ..lattice_solver import LatticeEDSolver
+from ..lattice import (gloc_realspace, self_consistency,
+                       kinetic_energy_realspace, ConvergenceMonitor)
+from ..bath import ph_symmetrize_bath
+from ..aux import lso2nnn, search_variable
+
+
+@dataclass
+class NanoResult:
+    converged: bool
+    iterations: int
+    baths: np.ndarray
+    smats_ineq: np.ndarray
+    gmats_lat: np.ndarray
+    weiss_ineq: np.ndarray
+    dens: np.ndarray      # per lattice site
+    docc: np.ndarray
+    ekin: float
+    error: float
+
+
+def square_flake_hij(lx: int, ly: int, t: float = 1.0,
+                     pbc: bool = False):
+    """Nearest-neighbor square-lattice flake: Hij [Nlat, Nlat] (Norb=Nspin=1
+    blocks), plus the lat2ineq map by C4v/mirror symmetry classes
+    (the ed_hm_square_lattice geometry)."""
+    n = lx * ly
+
+    def idx(x, y):
+        return x + lx * y
+
+    H = np.zeros((n, n))
+    for y in range(ly):
+        for x in range(lx):
+            i = idx(x, y)
+            if x + 1 < lx:
+                H[i, idx(x + 1, y)] = -t
+                H[idx(x + 1, y), i] = -t
+            elif pbc and lx > 2:
+                H[i, idx(0, y)] = -t
+                H[idx(0, y), i] = -t
+            if y + 1 < ly:
+                H[i, idx(x, y + 1)] = -t
+                H[idx(x, y + 1), i] = -t
+            elif pbc and ly > 2:
+                H[i, idx(x, 0)] = -t
+                H[idx(x, 0), i] = -t
+    # symmetry classes: distance multiset from the 4 flake corners
+    classes = {}
+    lat2ineq = np.zeros(n, dtype=int)
+    for y in range(ly):
+        for x in range(lx):
+            key = tuple(sorted((min(x, lx - 1 - x), min(y, ly - 1 - y))))
+            if key not in classes:
+                classes[key] = len(classes)
+            lat2ineq[idx(x, y)] = classes[key]
+    return H, lat2ineq
+
+
+def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
+        wmixing: float = 0.5, phsym: bool = False, sb_field_sign=None,
+        log=None) -> NanoResult:
+    cfg = cfg.validate()
+    _log = log if log is not None else (print if cfg.ed_verbose > 0
+                                        else lambda *a, **k: None)
+    nso = cfg.nspin * cfg.norb
+    nlat = hij.shape[0] // nso
+    lat2ineq = np.asarray(lat2ineq)
+    nineq = int(lat2ineq.max()) + 1
+    ineq2lat = np.array([np.nonzero(lat2ineq == i)[0][0]
+                         for i in range(nineq)])
+    hloc_lat = lso2nnn(hij, nlat, cfg.nspin, cfg.norb)
+    hloc_ineq = hloc_lat[ineq2lat]
+
+    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
+    baths = lsolver.init_solvers(sb_field_sign)
+    baths_prev = baths.copy()
+    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
+    converged, iloop = False, 0
+    weiss_ineq = gm_lat = None
+    xmu = cfg.xmu
+    sstate: dict = {}
+    while not converged and iloop < cfg.nloop:
+        iloop += 1
+        _log(f"--- real-space DMFT loop {iloop}/{cfg.nloop} "
+             f"({nineq} ineq of {nlat} sites) ---")
+        lsolver.solve(baths)
+        smats_ineq = lsolver.get_sigma_matsubara()
+        smats_lat = smats_ineq[lat2ineq]
+        gm_lat = gloc_realspace(cfg, hij, smats_lat, "mats")
+        gm_ineq = gm_lat[ineq2lat]
+        weiss_ineq = np.stack([
+            self_consistency(cfg, gm_ineq[i], smats_ineq[i], hloc_ineq[i])
+            for i in range(nineq)])
+        baths = lsolver.chi2_fitgf(weiss_ineq, baths, ispin=None)
+        if phsym:
+            for i in range(nineq):
+                baths[i] = ph_symmetrize_bath(cfg, baths[i])
+        if iloop > 1:
+            baths = wmixing * baths + (1 - wmixing) * baths_prev
+        baths_prev = baths.copy()
+        converged = monitor.check(weiss_ineq[0, 0, 0, 0, 0], log=_log)
+        if cfg.nread != 0.0:
+            dens_mean = float(lsolver.get_dens()[lat2ineq].sum() / nlat)
+            xmu, conv2 = search_variable(cfg, xmu, dens_mean, sstate, _log)
+            converged = converged and conv2
+            cfg = cfg.replace(xmu=xmu)
+            for s in lsolver.solvers:
+                s.cfg = cfg
+    smats_ineq = lsolver.get_sigma_matsubara()
+    ekin = kinetic_energy_realspace(cfg, hij, smats_ineq[lat2ineq])
+    return NanoResult(converged=converged, iterations=iloop, baths=baths,
+                      smats_ineq=smats_ineq, gmats_lat=gm_lat,
+                      weiss_ineq=weiss_ineq,
+                      dens=lsolver.get_dens()[lat2ineq][:, 0],
+                      docc=lsolver.get_docc()[lat2ineq][:, 0],
+                      ekin=ekin, error=monitor.error)

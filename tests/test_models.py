@@ -1,0 +1,64 @@
+"""End-to-end tests for the remaining BASELINE model families:
+2-band Hund (hybrid bath), BHZ (k-space, Nspin=2), square-flake real-space
+DMFT (inequivalent sites)."""
+
+import numpy as np
+import pytest
+
+from dmft_ed_tpu.config import EDConfig
+from dmft_ed_tpu.models import hm_bethe, bhz_2d, hm_square_lattice
+
+
+@pytest.fixture
+def rundir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_two_band_hund_hybrid(rundir):
+    cfg = EDConfig(norb=2, nbath=3, nspin=1, uloc=(2.0, 2.0), ust=1.0,
+                   jh=0.25, jx=0.25, jp=0.25, bath_type="hybrid", beta=100.0,
+                   lmats=200, lreal=40, lfit=200, nloop=45, dmft_error=1e-4,
+                   ed_verbose=0, lanc_dim_threshold=2048).validate()
+    r = hm_bethe.run(cfg, le=200, wbethe=np.array([1.0, 0.8]), wmixing=0.4,
+                     log=lambda m: None)
+    assert r.error < 5e-3, r.error
+    np.testing.assert_allclose(r.dens, [1.0, 1.0], atol=0.01)
+    # the narrower band is the more correlated one
+    assert r.docc[1] < r.docc[0] < 0.15
+
+
+def test_bhz_band_insulator(rundir):
+    cfg = EDConfig(norb=2, nspin=2, nbath=2, uloc=(1.0, 1.0), ust=0.5,
+                   beta=100.0, lmats=150, lreal=40, lfit=150, nloop=15,
+                   dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=1200).validate()
+    r = bhz_2d.run(cfg, nk=10, mh=1.0, llambda=0.3, wmixing=0.5,
+                   log=lambda m: None)
+    assert r.error < 1e-3, r.error
+    # total filling 2 (half), strong orbital polarization from mh
+    np.testing.assert_allclose(r.dens.sum(), 2.0, atol=0.02)
+    assert r.dens[1] - r.dens[0] > 0.5
+    # spin symmetry preserved
+    np.testing.assert_allclose(r.smats[0, 0, 0, 0], r.smats[1, 1, 0, 0],
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_square_flake_realspace(rundir):
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), beta=100.0,
+                   lmats=150, lreal=30, lfit=150, nloop=12, dmft_error=1e-4,
+                   ed_verbose=0, lanc_dim_threshold=1024).validate()
+    r = hm_square_lattice.run(cfg, lx=3, ly=3, ts=0.5, wmixing=0.5,
+                              log=lambda m: None)
+    assert r.error < 0.05
+    # site-symmetry classes: corners(4) / edges(4) / center identical
+    d = r.dens
+    corners = [0, 2, 6, 8]
+    edges = [1, 3, 5, 7]
+    for grp in (corners, edges):
+        np.testing.assert_allclose(d[grp], d[grp[0]], atol=1e-6)
+    np.testing.assert_allclose(d.mean(), 1.0, atol=0.05)
+    # docc well inside the correlated-metal range on every site
+    assert np.all((r.docc > 0.02) & (r.docc < 0.25))
