@@ -29,10 +29,14 @@ from math import comb
 
 import numpy as np
 
-try:  # optional C++ fast path (native/edcore.cpp)
-    from .native import edcore as _native
-except Exception:  # pragma: no cover - fallback is always correct
+try:  # optional C++ fast path (native/edcore.cpp), compiled on first use
+    from . import native as _native
+    _native._load()
+except Exception:  # pragma: no cover - numpy fallback is always correct
     _native = None
+
+# dimension above which the native kernels win over vectorized numpy
+_NATIVE_MIN = 4096
 
 
 # ----------------------------------------------------------------------
@@ -77,7 +81,7 @@ def spin_states(ns: int, n: int) -> np.ndarray:
     """
     if n < 0 or n > ns:
         return np.empty(0, dtype=np.int64)
-    if _native is not None and ns > 20:
+    if _native is not None and comb(ns, n) > _NATIVE_MIN:
         return _native.spin_states(ns, n)
     dim = comb(ns, n)
     out = np.empty(dim, dtype=np.int64)
@@ -112,6 +116,8 @@ def rank_states(states: np.ndarray, ns: int) -> np.ndarray:
     per-element binary_search (ED_SETUP.f90:1307).
     """
     states = np.asarray(states, dtype=np.int64)
+    if _native is not None and states.size > _NATIVE_MIN:
+        return _native.rank_states(states, ns)
     tbl = _binom_table(ns)
     rank = np.zeros(states.shape, dtype=np.int64)
     kcount = np.zeros(states.shape, dtype=np.int64)
@@ -134,6 +140,8 @@ def hop_op(ns: int, n: int, i: int, j: int):
     JW sign. Matches the reference's sequential c/cdg application
     (ED_HAMILTONIAN/stored/Himp.f90 UP branch).
     """
+    if _native is not None and comb(ns, n) > _NATIVE_MIN:
+        return _native.hop_coo(ns, n, i, j)
     st = spin_states(ns, n)
     if i == j:
         occ = ((st >> j) & 1).astype(bool)
@@ -157,6 +165,8 @@ def cdg_op(ns: int, n: int, i: int):
     *in-spin* JW string; callers add the (-1)^{N_up} factor for down-spin
     operators (constant per block).
     """
+    if _native is not None and comb(ns, n) > _NATIVE_MIN:
+        return _native.ladder_coo(ns, n, i, True)
     st = spin_states(ns, n)
     ok = ((st >> i) & 1) == 0
     src = np.nonzero(ok)[0]
@@ -169,6 +179,8 @@ def cdg_op(ns: int, n: int, i: int):
 
 def c_op(ns: int, n: int, i: int):
     """COO of ``c_i`` : n-particle basis -> (n-1)-particle basis."""
+    if _native is not None and comb(ns, n) > _NATIVE_MIN:
+        return _native.ladder_coo(ns, n, i, False)
     st = spin_states(ns, n)
     ok = ((st >> i) & 1) == 1
     src = np.nonzero(ok)[0]
