@@ -105,6 +105,10 @@ class EDConfig:
     # TPU-specific knobs (no reference analogue)
     dense_matmul_threshold: int = 4096  # per-spin dim below which H_sigma is dense
     dtype: str = "float64"        # working real dtype for Krylov vectors
+    matmul_precision: str = "native"  # "native" | "ozaki4".."ozaki8":
+    #   ozakiN runs the dense H·v matmuls as N-slice int8 digit products with
+    #   exact int32 accumulation (ozaki.py) — near-f64 accuracy at a fraction
+    #   of the TPU f64-emulation cost. Real-valued operators only.
     seed: int = 0                 # PRNG seed for bath noise
 
     # ------------------------------------------------------------------

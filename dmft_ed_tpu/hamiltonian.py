@@ -423,60 +423,90 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
     sec = ham.sector
     rdtype = jnp.dtype(cfg.dtype)
     cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
-    vdtype = cdtype if np.issubdtype(ham.dtype, np.complexfloating) else rdtype
+    is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
+    vdtype = cdtype if is_cplx else rdtype
     thr = cfg.dense_matmul_threshold
+    # Ozaki int8-digit matmuls: real f64 dense operators only
+    ozaki_n = 0
+    if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
+            and rdtype == jnp.float64:
+        ozaki_n = int(cfg.matmul_precision[5:] or 6)
+        from . import ozaki as _ozaki
 
     diag = [jnp.asarray(d, dtype=rdtype) for d in ham.diag]
 
-    def prep(coo: SpinCOO, dense_ok: bool):
+    def prep(coo: SpinCOO, dense_ok: bool, side: str = "left"):
+        """side: how the dense operator is applied — 'left' (O @ V, dw ops)
+        or 'right' (V @ O^T, up ops)."""
         n, m = coo.shape
         if dense_ok and max(n, m) <= thr:
-            return ("dense", jnp.asarray(coo.to_dense(), dtype=vdtype))
+            dense = coo.to_dense()
+            if ozaki_n:
+                if side == "left":
+                    op = _ozaki.SlicedMatrix(dense, ozaki_n)
+                else:
+                    op = _ozaki.SlicedRightOperand(dense.T, ozaki_n)
+                return ("ozaki_" + side, op)
+            return ("dense", jnp.asarray(dense, dtype=vdtype))
         return ("coo", (jnp.asarray(coo.rows, dtype=jnp.int32),
                         jnp.asarray(coo.cols, dtype=jnp.int32),
                         jnp.asarray(coo.vals, dtype=vdtype)))
 
-    hup = [prep(c, True) for c in ham.hup]
-    hdw = [prep(c, True) for c in ham.hdw]
+    hup = [prep(c, True, "right") for c in ham.hup]
+    hdw = [prep(c, True, "left") for c in ham.hdw]
     mix = []
     for t in ham.mix:
-        up = prep(t.up, True) if t.up is not None else None
-        dw = prep(t.dw, True) if t.dw is not None else None
+        up = prep(t.up, True, "right") if t.up is not None else None
+        dw = prep(t.dw, True, "left") if t.dw is not None else None
         mix.append((t.src, t.dst, up, dw,
                     jnp.asarray(t.coeff, dtype=vdtype)))
 
     shapes = [(b.ddw, b.dup) for b in sec.blocks]
+
+    def apply_up(v, spec, out_cols):
+        kind, dat = spec
+        if kind == "dense":
+            return v @ dat.T
+        if kind == "ozaki_right":
+            return _ozaki.right_sliced_matmul(v, dat.digits, dat.scales,
+                                              dat.nslices)
+        if dat[0].shape[0]:
+            return _apply_spin_coo_up(v, dat, out_cols)
+        return None
+
+    def apply_dw(v, spec, out_rows):
+        kind, dat = spec
+        if kind == "dense":
+            return dat @ v
+        if kind == "ozaki_left":
+            return _ozaki.sliced_matmul(dat.digits, dat.scales, v,
+                                        dat.nslices)
+        if dat[0].shape[0]:
+            return _apply_spin_coo_dw(v, dat, out_rows)
+        return None
 
     def matvec(V):
         Y = []
         for bi, blk in enumerate(sec.blocks):
             v = V[bi]
             y = diag[bi] * v
-            kind, dat = hup[bi]
-            if kind == "dense":
-                y = y + v @ dat.T
-            elif dat[0].shape[0]:
-                y = y + _apply_spin_coo_up(v, dat, blk.dup)
-            kind, dat = hdw[bi]
-            if kind == "dense":
-                y = y + dat @ v
-            elif dat[0].shape[0]:
-                y = y + _apply_spin_coo_dw(v, dat, blk.ddw)
+            r = apply_up(v, hup[bi], blk.dup)
+            if r is not None:
+                y = y + r
+            r = apply_dw(v, hdw[bi], blk.ddw)
+            if r is not None:
+                y = y + r
             Y.append(y)
         for (src, dst, up, dw, coeff) in mix:
             v = V[src]
             if up is not None:
-                kind, dat = up
-                if kind == "dense":
-                    v = v @ dat.T
-                else:
-                    v = _apply_spin_coo_up(v, dat, shapes[dst][1])
+                v = apply_up(v, up, shapes[dst][1])
+                if v is None:       # empty operator: term vanishes
+                    continue
             if dw is not None:
-                kind, dat = dw
-                if kind == "dense":
-                    v = dat @ v
-                else:
-                    v = _apply_spin_coo_dw(v, dat, shapes[dst][0])
+                v = apply_dw(v, dw, shapes[dst][0])
+                if v is None:
+                    continue
             Y[dst] = Y[dst] + coeff * v
         return tuple(Y)
 
