@@ -1,0 +1,54 @@
+"""Twin-sector reduction (ed_twin): halved sector scan must reproduce the
+full-scan physics exactly for spin-symmetric problems."""
+
+import numpy as np
+import pytest
+
+from dmft_ed_tpu.config import EDConfig
+from dmft_ed_tpu.bath import Bath
+from dmft_ed_tpu.diag import diagonalize
+from dmft_ed_tpu.gf_normal import build_gf_normal
+from dmft_ed_tpu.observables import compute_observables
+
+
+def _setup(ed_twin):
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), beta=50.0,
+                   lmats=24, lreal=12, xmu=0.15, ed_twin=ed_twin,
+                   lanc_dim_threshold=10 ** 6).validate()
+    rng = np.random.default_rng(81)
+    bath = Bath(cfg)
+    bath.e[:] = np.array([-0.8, 0.1, 0.9])[None, None, :]
+    bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 1, 1))
+    return cfg, bath, hloc
+
+
+def test_twin_reduction_matches_full_scan():
+    results = {}
+    for tw in (False, True):
+        cfg, bath, hloc = _setup(tw)
+        slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+        obs = compute_observables(cfg, slist, zeta, bath, hloc, False)
+        Gm, Gr = build_gf_normal(cfg, slist, zeta, bath, hloc, False)
+        results[tw] = (slist.emin, zeta, obs.dens.copy(), obs.docc.copy(),
+                       Gm.copy())
+    e0_f, z_f, dens_f, docc_f, G_f = results[False]
+    e0_t, z_t, dens_t, docc_t, G_t = results[True]
+    assert abs(e0_f - e0_t) < 1e-10
+    assert abs(z_f - z_t) < 1e-10
+    np.testing.assert_allclose(dens_t, dens_f, atol=1e-9)
+    np.testing.assert_allclose(docc_t, docc_f, atol=1e-9)
+    np.testing.assert_allclose(G_t, G_f, atol=1e-8)
+
+
+def test_twin_finite_t():
+    for tw in (False, True):
+        cfg, bath, hloc = _setup(tw)
+        cfg = cfg.replace(beta=5.0, lanc_nstates_total=40, cutoff=1e-8)
+        slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+        obs = compute_observables(cfg, slist, zeta, bath, hloc, True)
+        if tw:
+            dens_t = obs.dens.copy()
+        else:
+            dens_f = obs.dens.copy()
+    np.testing.assert_allclose(dens_t, dens_f, atol=1e-6)
