@@ -48,6 +48,33 @@ def lso2nnn(f: np.ndarray, nlat: int, nspin: int, norb: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
+# spin-orbit helpers (ED_AUX_FUNX.f90:780-1053)
+# ----------------------------------------------------------------------
+
+_PAULI = {
+    "x": np.array([[0, 1], [1, 0]], dtype=complex),
+    "y": np.array([[0, -1j], [1j, 0]], dtype=complex),
+    "z": np.array([[1, 0], [0, -1]], dtype=complex),
+}
+
+
+def atomic_soc(nspin: int = 2, norb: int = 3) -> np.ndarray:
+    """t2g atomic L·S matrix, [Nspin, Nspin, Norb, Norb] (atomic_SOC,
+    ED_AUX_FUNX.f90:926-940: blocks (1,2)=+iσz/2, (1,3)=-iσy/2,
+    (2,3)=+iσx/2 in orbital-major/spin-fast ordering + h.c.)."""
+    assert nspin == 2 and norb == 3, "atomic SOC defined for t2g (2x3)"
+    nso = nspin * norb
+    ls_os = np.zeros((nso, nso), dtype=complex)     # os: i = s + 2*orb
+    ls_os[0:2, 2:4] = +1j * _PAULI["z"] / 2
+    ls_os[0:2, 4:6] = -1j * _PAULI["y"] / 2
+    ls_os[2:4, 4:6] = +1j * _PAULI["x"] / 2
+    ls_os = ls_os + ls_os.conj().T
+    # os (orbital-major, spin-fast) -> nn [Nspin, Nspin, Norb, Norb]
+    ls = ls_os.reshape(norb, nspin, norb, nspin).transpose(1, 3, 0, 2)
+    return ls
+
+
+# ----------------------------------------------------------------------
 # chemical potential search (secant on the density)
 # ----------------------------------------------------------------------
 
