@@ -10,11 +10,13 @@ from dmft_ed_tpu.models import soc
 
 def test_atomic_soc_matrix():
     ls = nn2so(atomic_soc(), 2, 3)
-    # Hermitian, traceless, eigenvalues of l=1 x s=1/2 L.S: {-1 (x2), 1/2 (x4)}
+    # Hermitian, traceless; t2g effective convention (L_eff = -L):
+    # j_eff=3/2 quartet at -1/2, j_eff=1/2 doublet at +1
     np.testing.assert_allclose(ls, ls.conj().T, atol=1e-14)
     assert abs(np.trace(ls)) < 1e-14
     ev = np.sort(np.linalg.eigvalsh(ls))
-    np.testing.assert_allclose(ev, [-1, -1, 0.5, 0.5, 0.5, 0.5], atol=1e-12)
+    np.testing.assert_allclose(ev, [-0.5, -0.5, -0.5, -0.5, 1.0, 1.0],
+                               atol=1e-12)
 
 
 @pytest.mark.slow
