@@ -1,0 +1,152 @@
+"""Generic k-space DMFT loop + Bloch Hamiltonian builders for the
+2D lattice driver families of the reference (drivers/ed_hm_square*.f90,
+ed_graphene*.f90, ed_haldane*.f90, ed_kane_mele.f90).
+
+Every driver is: build Hk on a BZ grid -> DMFT loop with k-sum Gloc ->
+matrix Weiss update -> chi2 fit. The reference duplicates this per model;
+here the loop is one function over any Hk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import EDConfig
+from ..solver import EDSolver
+from ..bath import spin_symmetrize_bath
+from ..lattice import gloc_hk, self_consistency, ConvergenceMonitor
+from ..aux import so2nn, search_variable
+
+
+@dataclass
+class KspaceResult:
+    converged: bool
+    iterations: int
+    bath: np.ndarray
+    smats: np.ndarray
+    gmats: np.ndarray
+    weiss: np.ndarray
+    dens: np.ndarray
+    docc: np.ndarray
+    error: float
+
+
+def run_kspace(cfg: EDConfig, hk: np.ndarray, hloc=None,
+               wmixing: float = 0.5, spinsym: bool = True, log=None
+               ) -> KspaceResult:
+    """DMFT loop over a fixed Bloch Hamiltonian hk [Nso, Nso, Nk]."""
+    cfg = cfg.validate()
+    _log = log if log is not None else (print if cfg.ed_verbose > 0
+                                        else lambda *a, **k: None)
+    if hloc is None:
+        hloc_so = hk.mean(axis=-1)
+        hloc_so[np.abs(hloc_so) < 1e-10] = 0.0
+        hloc = so2nn(hloc_so, cfg.nspin, cfg.norb)
+    solver = EDSolver(cfg, hloc)
+    bath = solver.init_solver()
+    bath_prev = bath.copy()
+    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
+    converged, iloop = False, 0
+    res = weiss = gm = None
+    xmu = cfg.xmu
+    sstate: dict = {}
+    while not converged and iloop < cfg.nloop:
+        iloop += 1
+        _log(f"--- DMFT loop {iloop}/{cfg.nloop} (k-space) ---")
+        res = solver.solve(bath)
+        gm = gloc_hk(cfg, hk, res.smats, "mats")
+        weiss = self_consistency(cfg, gm, res.smats, hloc)
+        if spinsym and cfg.nspin > 1:
+            bath = solver.chi2_fitgf(weiss, bath, ispin=0)
+            bath = spin_symmetrize_bath(cfg, bath, solver.mask)
+        else:
+            bath = solver.chi2_fitgf(weiss, bath,
+                                     ispin=0 if cfg.nspin == 1 else None)
+        if iloop > 1:
+            bath = wmixing * bath + (1 - wmixing) * bath_prev
+        bath_prev = bath.copy()
+        converged = monitor.check(weiss[0, 0, 0, 0], log=_log)
+        if cfg.nread != 0.0:
+            xmu, conv2 = search_variable(cfg, xmu,
+                                         float(res.observables.dens.sum()),
+                                         sstate, _log)
+            converged = converged and conv2
+            cfg = cfg.replace(xmu=xmu)
+            solver.cfg = cfg
+    return KspaceResult(converged=converged, iterations=iloop, bath=bath,
+                        smats=res.smats, gmats=gm, weiss=weiss,
+                        dens=res.observables.dens, docc=res.observables.docc,
+                        error=monitor.error)
+
+
+# ----------------------------------------------------------------------
+# Bloch Hamiltonian builders
+# ----------------------------------------------------------------------
+
+def hk_square(nk: int = 32, t: float = 0.25, nso: int = 1) -> np.ndarray:
+    """Square-lattice nearest-neighbor band (ed_hm_square.f90):
+    eps(k) = -2t(cos kx + cos ky). Returns [nso, nso, Nk^2]."""
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    eps = np.array([-2 * t * (np.cos(kx) + np.cos(ky))
+                    for kx in ks for ky in ks])
+    return np.eye(nso)[:, :, None] * eps[None, None, :]
+
+
+def _honeycomb_fk(kx, ky, t):
+    """Nearest-neighbor honeycomb structure factor (graphene convention:
+    d1=(1,0), d2=(-1/2,√3/2), d3=(-1/2,-√3/2))."""
+    return -t * (np.exp(1j * kx)
+                 + np.exp(1j * (-kx / 2 + np.sqrt(3) / 2 * ky))
+                 + np.exp(1j * (-kx / 2 - np.sqrt(3) / 2 * ky)))
+
+
+def _honeycomb_grid(nk):
+    """Uniform grid over the honeycomb BZ via the reciprocal basis."""
+    b1 = 2 * np.pi * np.array([1 / 3, 1 / np.sqrt(3)])
+    b2 = 2 * np.pi * np.array([1 / 3, -1 / np.sqrt(3)])
+    fr = np.linspace(0, 1, nk, endpoint=False)
+    return [f1 * b1 + f2 * b2 for f1 in fr for f2 in fr]
+
+
+def hk_graphene(nk: int = 24, t: float = 1.0, mass: float = 0.0
+                ) -> np.ndarray:
+    """Honeycomb 2-sublattice band (ed_graphene.f90), optional Semenoff
+    mass. [2, 2, Nk^2]."""
+    hks = []
+    for k in _honeycomb_grid(nk):
+        f = _honeycomb_fk(k[0], k[1], t)
+        hks.append(np.array([[mass, f], [np.conj(f), -mass]]))
+    return np.stack(hks, axis=-1)
+
+
+def hk_haldane(nk: int = 24, t1: float = 1.0, t2: float = 0.1,
+               phi: float = np.pi / 2, mass: float = 0.0) -> np.ndarray:
+    """Haldane model (ed_haldane.f90): honeycomb + complex NNN hopping.
+    [2, 2, Nk^2]."""
+    a1 = np.array([3 / 2, np.sqrt(3) / 2])
+    a2 = np.array([3 / 2, -np.sqrt(3) / 2])
+    nnn = [a1, a2, a2 - a1]
+    hks = []
+    for k in _honeycomb_grid(nk):
+        f = _honeycomb_fk(k[0], k[1], t1)
+        g = sum(np.cos(np.dot(k, v)) for v in nnn)
+        h = sum(np.sin(np.dot(k, v)) for v in nnn)
+        d0 = -2 * t2 * np.cos(phi) * g
+        dz = mass - 2 * t2 * np.sin(phi) * h
+        hks.append(np.array([[d0 + dz, f], [np.conj(f), d0 - dz]]))
+    return np.stack(hks, axis=-1)
+
+
+def hk_kane_mele(nk: int = 24, t: float = 1.0, soc: float = 0.1
+                 ) -> np.ndarray:
+    """Kane-Mele model (ed_kane_mele.f90): two spin copies of Haldane with
+    opposite fluxes. Basis (A↑, B↑, A↓, B↓): [4, 4, Nk^2]."""
+    up = hk_haldane(nk, t, soc, np.pi / 2, 0.0)
+    dw = hk_haldane(nk, t, soc, -np.pi / 2, 0.0)
+    nkk = up.shape[-1]
+    hk = np.zeros((4, 4, nkk), dtype=complex)
+    hk[:2, :2] = up
+    hk[2:, 2:] = dw
+    return hk
