@@ -341,6 +341,102 @@ def kinetic_energy(cfg: EDConfig, ebands, dbands, h0, sigma) -> float:
     return float(etot)
 
 
+def kinetic_energy_superc(cfg: EDConfig, ebands, dbands, h0, sigma,
+                          sigma_an) -> float:
+    """Nambu kinetic energy (dmft_kinetic_energy(Ebands,Dbands,H0,S,SA)):
+    same Matsubara sum + tails as the normal case but with the Nambu
+    G_11(e, iw) = (iw - mu + e + Σ̄)/det."""
+    wm = grids.matsubara_fermionic(cfg)
+    beta = cfg.beta
+    ns_, no = cfg.nspin, cfg.norb
+    spin_fac = 2.0 if ns_ == 1 else 1.0
+    etot = 0.0
+    z = 1j * wm
+    for s in range(ns_):
+        for a in range(no):
+            sig = np.asarray(sigma[s, s, a, a])
+            sa = np.asarray(sigma_an[s, s, a, a])
+            sig_hf = sig[-1].real
+            ek = np.asarray(ebands[a]) + h0[a]
+            wk = np.asarray(dbands[a])
+            Ak = ek
+            Bk = -ek - sig_hf
+            z1 = (z + cfg.xmu - sig)[:, None] - ek[None, :]
+            z2 = (z - cfg.xmu + np.conj(sig))[:, None] + ek[None, :]
+            det = z1 * z2 - (sa ** 2)[:, None]
+            Gk = z2 / det
+            Tk = 1.0 / z[:, None] - Bk[None, :] / z[:, None] ** 2
+            Ck = Ak[None, :] * (Gk - Tk)
+            h = np.sum((Ck * wk[None, :]).real) * 4.0 / beta
+            tail0 = 2 * np.sum(0.5 * Ak * wk)
+            tail1 = 2 * np.sum(0.25 * Ak * Bk * wk) * beta
+            etot += (h + tail0 + tail1) * spin_fac / 2.0
+    return float(etot)
+
+
+# ----------------------------------------------------------------------
+# transport: Landauer conductance through a nanostructure
+# (drivers/ed_nano_transport.f90: Gij on the real axis + lead couplings)
+# ----------------------------------------------------------------------
+
+def gij_realspace(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
+                  axis: str = "real", chunk: int = 32) -> np.ndarray:
+    """FULL lattice Green's matrix [(Nlso, Nlso, L)] (dmft_gij_realaxis):
+    like gloc_realspace but returning all site off-diagonal blocks."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    L = len(z)
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    out = np.zeros((nlso, nlso, L), dtype=complex)
+    hij_j = jnp.asarray(hij)
+
+    @jax.jit
+    def invert(zc, sc):
+        Lc = zc.shape[0]
+        S = jnp.zeros((Lc, nlso, nlso), dtype=jnp.complex128)
+        for i in range(nlat):
+            S = S.at[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso].set(
+                sc[:, i])
+        M = ((zc + cfg.xmu)[:, None, None] * jnp.eye(nlso)[None]
+             - hij_j[None] - S)
+        return jnp.linalg.inv(M)
+
+    for i0 in range(0, L, chunk):
+        zc = jnp.asarray(z[i0:i0 + chunk])
+        sc = jnp.asarray(sig_so[..., i0:i0 + chunk].transpose(3, 0, 1, 2))
+        out[..., i0:i0 + chunk] = np.asarray(invert(zc, sc)
+                                             ).transpose(1, 2, 0)
+    return out
+
+
+def transmission(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
+                 gamma_l: np.ndarray, gamma_r: np.ndarray) -> np.ndarray:
+    """Landauer transmission T(w) = Tr[Γ_L G^r Γ_R G^a] on the real axis
+    (ed_nano_transport). gamma_l/r: [Nlso, Nlso] lead coupling matrices
+    (wide-band); the lead self-energy -(i/2)(Γ_L+Γ_R) is added to G."""
+    z = grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso,
+                                                           len(z))
+    lead = -0.5j * (gamma_l + gamma_r)
+    T = np.zeros(len(z))
+    for i, zz in enumerate(z):
+        S = np.zeros((nlso, nlso), dtype=complex)
+        for k in range(nlat):
+            S[k * nso:(k + 1) * nso, k * nso:(k + 1) * nso] = \
+                sig_so[k, :, :, i]
+        Gr = np.linalg.inv((zz + cfg.xmu) * np.eye(nlso) - hij - S - lead)
+        Ga = Gr.conj().T
+        T[i] = np.real(np.trace(gamma_l @ Gr @ gamma_r @ Ga))
+    return T
+
+
 # ----------------------------------------------------------------------
 # convergence (DMFT_Tools check_convergence)
 # ----------------------------------------------------------------------

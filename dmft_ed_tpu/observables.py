@@ -144,30 +144,50 @@ def compute_observables(cfg: EDConfig, slist: StateList, zeta: float,
     return o
 
 
-def _transfer_matrix(cfg: EDConfig, table, slist, zeta, finite_t):
-    """M[s,s',a,b] = Σ_states w <ψ| c†_{a,s} c_{b,s'} |ψ> for impurity
-    orbitals (spin off-diagonals only meaningful in nonsu2)."""
-    norb = cfg.norb
-    M = np.zeros((cfg.nspin, cfg.nspin, norb, norb), dtype=complex)
+def _transfer_matrix(cfg: EDConfig, table, slist, zeta, finite_t,
+                     levels=None):
+    """M[s,s',a,b] = Σ_states w <ψ| c†_{level_a,s} c_{level_b,s'} |ψ>
+    (impurity orbitals by default; arbitrary levels for bath density
+    matrices). Spin off-diagonals only meaningful in nonsu2."""
+    if levels is None:
+        levels = list(range(cfg.norb))
+    nl = len(levels)
+    M = np.zeros((cfg.nspin, cfg.nspin, nl, nl), dtype=complex)
     for sec, vec, w in _state_weights(slist, cfg.beta, zeta, finite_t):
         for s in range(cfg.nspin):
             for s2 in range(cfg.nspin):
                 if s != s2 and cfg.ed_mode != "nonsu2":
                     continue
-                for a in range(norb):
-                    ra = apply_spin_op(cfg, table, sec, vec, s, a, False)
+                for ia, la in enumerate(levels):
+                    ra = apply_spin_op(cfg, table, sec, vec, s, la, False)
                     if ra is None:
                         continue
                     ja, wa = ra
-                    for b in range(norb):
-                        rb = apply_spin_op(cfg, table, sec, vec, s2, b, False)
+                    for ib, lb in enumerate(levels):
+                        rb = apply_spin_op(cfg, table, sec, vec, s2, lb,
+                                           False)
                         if rb is None:
                             continue
                         jb, wb = rb
                         if ja.index != jb.index:
                             continue
-                        M[s, s2, a, b] += w * np.vdot(wa, wb)
+                        M[s, s2, ia, ib] += w * np.vdot(wa, wb)
     return M
+
+
+def bath_density_matrix(cfg: EDConfig, slist: StateList, zeta: float,
+                        finite_t: bool) -> np.ndarray:
+    """Replica-bath density matrix <c†_{bath(a,k),s} c_{bath(b,k),s'}>
+    [Nspin, Nspin, Norb, Norb, Nbath] (ED_OBSERVABLES.f90:591-658)."""
+    from .sectors import bath_stride
+    table = sector_table(cfg)
+    out = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.nbath),
+                   dtype=complex)
+    for k in range(cfg.nbath):
+        levels = [bath_stride(cfg, a, k) for a in range(cfg.norb)]
+        out[..., k] = _transfer_matrix(cfg, table, slist, zeta, finite_t,
+                                       levels)
+    return out
 
 
 def local_energy(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,

@@ -1,0 +1,84 @@
+"""Bath density matrix, superc kinetic energy, Landauer transport."""
+
+import numpy as np
+import pytest
+
+from dmft_ed_tpu.config import EDConfig
+from dmft_ed_tpu.bath import Bath, replica_mask
+from dmft_ed_tpu.diag import diagonalize
+from dmft_ed_tpu.observables import bath_density_matrix
+from dmft_ed_tpu.sectors import bath_stride
+from dmft_ed_tpu.lattice import (bethe_bands, kinetic_energy,
+                                 kinetic_energy_superc, transmission)
+from dmft_ed_tpu.hamiltonian import single_particle_parts
+
+import reference_ed as ref
+
+
+def test_bath_density_matrix_replica():
+    cfg = EDConfig(norb=2, nbath=1, nspin=1, uloc=(1.5, 1.5),
+                   bath_type="replica", beta=50.0,
+                   lanc_dim_threshold=10 ** 6).validate()
+    rng = np.random.default_rng(91)
+    hloc = np.zeros((1, 1, 2, 2), dtype=complex)
+    hloc[0, 0] = np.array([[0.3, 0.2], [0.2, -0.3]])
+    b = Bath(cfg)
+    b.mask = replica_mask(cfg, hloc)
+    h = rng.normal(size=(2, 2))
+    b.h[0, 0, :, :, 0] = (h + h.T) / 2
+    b.vr[:] = 0.6
+    slist, zeta, _ = diagonalize(cfg, b, hloc, None)
+    rho = bath_density_matrix(cfg, slist, zeta, False)
+    # exact occupations of bath levels via full-Fock ED
+    ns = cfg.ns
+    states = list(range(4 ** ns))
+    Tuu, Tdd, Tud, P = single_particle_parts(cfg, b, hloc)
+    H = ref.build_full_H(ns, cfg.norb, Tuu, Tdd, Tud, P,
+                         np.asarray(cfg.uloc_arr[:2]), cfg.ust, cfg.jh,
+                         cfg.jx, cfg.jp, cfg.hfmode, states)
+    evals, U = np.linalg.eigh(H)
+    deg = np.abs(evals - evals[0]) <= 1e-9
+    ks = np.nonzero(deg)[0]
+    for a in range(2):
+        lvl = bath_stride(cfg, a, 0)
+        occ = np.array([(s >> lvl) & 1 for s in states], dtype=float)
+        nexp = sum(float(np.sum(np.abs(U[:, k]) ** 2 * occ))
+                   for k in ks) / len(ks)
+        np.testing.assert_allclose(rho[0, 0, a, a, 0].real, nexp, atol=1e-8)
+
+
+def test_kinetic_energy_superc_reduces_to_normal():
+    cfg = EDConfig(norb=1, nbath=2, nspin=1, ed_mode="superc",
+                   beta=40.0, lmats=200).validate()
+    eb, db, h0 = bethe_bands(1, 1.0, 200)
+    rng = np.random.default_rng(92)
+    sig = (rng.normal(size=cfg.lmats) * 0.05
+           - 1j * np.abs(rng.normal(size=cfg.lmats)) * 0.2)
+    sigma = np.zeros((1, 1, 1, 1, cfg.lmats), dtype=complex)
+    sigma[0, 0, 0, 0] = sig
+    zero_an = np.zeros_like(sigma)
+    e_n = kinetic_energy(cfg, eb, db, h0, sigma)
+    e_s = kinetic_energy_superc(cfg, eb, db, h0, sigma, zero_an)
+    np.testing.assert_allclose(e_s, e_n, atol=1e-10)
+    # finite pairing lowers the kinetic energy magnitude (gap opens)
+    an = np.zeros_like(sigma)
+    an[0, 0, 0, 0] = 0.5
+    e_sc = kinetic_energy_superc(cfg, eb, db, h0, sigma, an)
+    assert e_sc != e_n
+
+
+def test_transmission_resonant_level():
+    """Single free site between wide-band leads: Lorentzian transmission
+    with unit peak at resonance."""
+    cfg = EDConfig(norb=1, nbath=1, nspin=1, lreal=401, wini=-2.0,
+                   wfin=2.0, eps=1e-6, xmu=0.0).validate()
+    hij = np.array([[0.0]])
+    sigma = np.zeros((1, 1, 1, 1, 1, cfg.lreal), dtype=complex)
+    gL = np.array([[0.2]])
+    gR = np.array([[0.2]])
+    T = transmission(cfg, hij, sigma, gL, gR)
+    w = np.linspace(cfg.wini, cfg.wfin, cfg.lreal)
+    gamma = 0.2
+    T_exact = gamma ** 2 / (w ** 2 + gamma ** 2)
+    np.testing.assert_allclose(T, T_exact, atol=1e-4)
+    assert abs(T[cfg.lreal // 2] - 1.0) < 1e-4
