@@ -152,6 +152,14 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         if log and cfg.ed_verbose >= 3:
             log(f" {it:4d}-Solving sector {sec.index:4d} "
                 f"{sector_label(sec)} dim={sec.dim} neigen={neigen}")
+        # eigenvalues_list file (ED_DIAG.f90:238-243, appended per sector)
+        try:
+            with open(f"eigenvalues_list{suffix}.ed", "a") as fh:
+                fh.write(f"# sector {sec.index + 1} {sector_label(sec)}\n")
+                for e in np.atleast_1d(evals):
+                    fh.write(f"{e:.12f}\n")
+        except OSError:
+            pass
 
         if finite_t:
             for e, v in zip(evals, evecs):
@@ -169,6 +177,20 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
 
     # ---- post-diag (ED_DIAG.f90:383-566)
     zeta = slist.partition_function(cfg.beta, finite_t)
+    if finite_t:
+        # histogram of sectors contributing to the kept spectrum
+        # (histogram_states.ed, ED_DIAG.f90:474-490)
+        try:
+            counts_h = np.zeros(len(table), dtype=int)
+            for s in slist:
+                counts_h[s.sector.index] += 1
+            with open(f"histogram_states{suffix}.ed", "a") as fh:
+                for i, c in enumerate(counts_h):
+                    if c:
+                        fh.write(f"{i + 1} {c}\n")
+                fh.write("\n")
+        except OSError:
+            pass
     if finite_t:
         # per-sector neigen feedback
         counts = {i: 0 for i in state.neigen_sector}

@@ -23,3 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running e2e DMFT loops")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Solver routines write reference-format .ed files into the cwd
+    (by design, matching the reference's file contracts) — keep test runs
+    out of the repo tree."""
+    monkeypatch.chdir(tmp_path)
