@@ -33,13 +33,16 @@ class _BoseAccum:
         self.tau = grids.imaginary_time(cfg)
         self.vm = grids.matsubara_bosonic(cfg)
         self.wr = grids.real_axis(cfg)
-        self.chi_tau = np.zeros((nrow, len(self.tau)))
+        self.chi_tau = np.zeros((nrow, len(self.tau)), dtype=complex)
         self.chi_iv = np.zeros((nrow, len(self.vm)), dtype=complex)
         self.chi_w = np.zeros((nrow, len(self.wr)), dtype=complex)
 
-    def add(self, row, peso_f, e_i, egs, alphas, betas, finite_t):
-        """Both isign=±1 reductions of one tridiagonalization
-        (add_to_lanczos_spinChi, ED_GF_CHISPIN.f90:254-323)."""
+    def add(self, row, peso_f, e_i, egs, alphas, betas, finite_t,
+            isigns=(1, -1)):
+        """isign=±1 reductions of one tridiagonalization
+        (add_to_lanczos_spinChi, ED_GF_CHISPIN.f90:254-323); the dens
+        off-diagonal channels use a single isign with complex weight
+        (ED_GF_CHIDENS.f90:131-178)."""
         cfg = self.cfg
         n = len(alphas)
         evals, Z = tridiag_eigh(alphas, betas)
@@ -47,29 +50,32 @@ class _BoseAccum:
         peso_bz = np.exp(-beta * (e_i - egs)) if finite_t else 1.0
         for j in range(n):
             dE = evals[j] - e_i
-            peso = np.real(peso_f) * Z[0, j] ** 2 * peso_bz
+            peso = peso_f * Z[0, j] ** 2 * peso_bz   # may be complex
             if peso == 0.0:
                 continue
             ebde = np.exp(-beta * dE) if beta * dE < 200 else 0.0
-            # zero bosonic frequency: both isigns contribute identically
-            if beta * dE < 1e-1:
-                self.chi_iv[row, 0] += 2 * peso * beta
-            else:
-                self.chi_iv[row, 0] += 2 * peso * (1 - ebde) / dE
             iv = 1j * self.vm[1:]
-            self.chi_iv[row, 1:] += peso * (ebde - 1.0) / (iv - dE)   # +1
-            self.chi_iv[row, 1:] += peso * (1.0 - ebde) / (iv + dE)   # -1
-            e1 = np.exp(np.clip(-self.tau * dE, -200, 200))
-            e2 = np.exp(np.clip(-(beta - self.tau) * dE, -200, 200))
-            self.chi_tau[row] += peso * (e1 + e2)
             zw = self.wr + 1j * cfg.eps
-            self.chi_w[row] += peso * (ebde - 1.0) / (zw - dE)
-            self.chi_w[row] += peso * (1.0 - ebde) / (zw + dE)
+            iv0 = peso * beta if beta * dE < 1e-1 \
+                else peso * (1 - ebde) / dE
+            if 1 in isigns:
+                self.chi_iv[row, 0] += iv0
+                self.chi_iv[row, 1:] += peso * (ebde - 1.0) / (iv - dE)
+                self.chi_tau[row] += peso * np.exp(
+                    np.clip(-self.tau * dE, -200, 200))
+                self.chi_w[row] += peso * (ebde - 1.0) / (zw - dE)
+            if -1 in isigns:
+                self.chi_iv[row, 0] += iv0
+                self.chi_iv[row, 1:] += peso * (1.0 - ebde) / (iv + dE)
+                self.chi_tau[row] += peso * np.exp(
+                    np.clip(-(beta - self.tau) * dE, -200, 200))
+                self.chi_w[row] += peso * (1.0 - ebde) / (zw + dE)
 
 
 def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
-                 hloc, finite_t: bool, rows, apply_fn: Callable, log=None):
-    """rows: list of (row_index, state->vector builder)."""
+                 hloc, finite_t: bool, rows, log=None):
+    """rows: list of (row_index, builder) where builder(sector, vec) returns
+    None or (target_sector, vector[, cnorm_multiplier])."""
     table = sector_table(cfg)
     cache = HamCache(cfg, bath, hloc)
     nrow = max(r for r, _ in rows) + 1
@@ -80,7 +86,9 @@ def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
             r = build(sector, vec)
             if r is None:
                 continue
-            jsec, vv = r
+            jsec, vv = r[0], r[1]
+            cnorm = r[2] if len(r) > 2 else 1.0
+            isigns = r[3] if len(r) > 3 else (1, -1)
             norm2 = float(np.real(np.vdot(vv, vv)))
             if norm2 < 1e-30:
                 continue
@@ -89,9 +97,9 @@ def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
             mv = cache.matvec_flat(jsec)
             alphas, betas, nsteps = lanczos_tridiag(mv, v0, nlanc)
             nn = max(int(nsteps), 1)
-            acc.add(row, norm2 / zeta, e_i, egs,
+            acc.add(row, cnorm * norm2 / zeta, e_i, egs,
                     np.asarray(alphas[:nn]), np.asarray(betas[:nn]),
-                    finite_t)
+                    finite_t, isigns)
     return acc.chi_tau, acc.chi_iv, acc.chi_w
 
 
@@ -122,39 +130,78 @@ def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
     if cfg.norb > 1:
         rows.append((cfg.norb, sz_tot))
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, None, log)
+                                 rows, log)
     return _to_matrix(cfg, tau_, iv_, w_)
 
 
 def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
                    log=None):
-    """χ_nn diagonal + total (build_chi_dens; the redundant off-diagonal
-    cross-check channels of the reference are omitted — χ_ab can be formed
-    from the (n_a+n_b) channel when needed)."""
+    """χ_nn: orbital-diagonal, off-diagonal (via (n_a+n_b) and (n_a∓i n_b)
+    combinations with the (1+i) reconstruction on χ(ω),
+    ED_GF_CHIDENS.f90:18-66, :280-470) and total-density channels."""
     if log:
         log("Get impurity dens Chi:")
     ns = cfg.ns
+    norb = cfg.norb
 
-    def n_op(a):
-        def build(sector, vec):
+    def n_comb(coeffs):
+        def build(sector, vec, _c=coeffs):
             up = np.zeros(ns)
             dw = np.zeros(ns)
-            up[a] = dw[a] = 1.0
+            for orb, cf in _c.items():
+                up[orb] = dw[orb] = cf
             return sector, apply_diag_op(cfg, sector, vec, up, dw)
         return build
 
-    def n_tot(sector, vec):
-        up = np.zeros(ns)
-        dw = np.zeros(ns)
-        up[:cfg.norb] = dw[:cfg.norb] = 1.0
-        return sector, apply_diag_op(cfg, sector, vec, up, dw)
-
-    rows = [(a, n_op(a)) for a in range(cfg.norb)]
-    if cfg.norb > 1:
-        rows.append((cfg.norb, n_tot))
+    rows = [(a, n_comb({a: 1.0})) for a in range(norb)]
+    pair_rows = {}
+    nrow = norb
+    if norb > 1:
+        for a in range(norb):
+            for b in range(a + 1, norb):
+                pair_rows[(a, b)] = nrow
+                row = nrow
+                rows.append((row, n_comb({a: 1.0, b: 1.0})))
+                # single-isign complex channels (ED_GF_CHIDENS.f90:96-178)
+                rows.append((row, lambda sec, v, a=a, b=b: (
+                    sec, apply_diag_op(cfg, sec, v.astype(complex),
+                                       *_nvec(ns, {a: 1.0, b: -1j})),
+                    1j, (1,))))
+                rows.append((row, lambda sec, v, a=a, b=b: (
+                    sec, apply_diag_op(cfg, sec, v.astype(complex),
+                                       *_nvec(ns, {a: 1.0, b: 1j})),
+                    1j, (-1,))))
+                nrow += 1
+        rows.append((nrow, n_comb({a: 1.0 for a in range(norb)})))
+        tot_row = nrow
+        nrow += 1
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, None, log)
-    return _to_matrix(cfg, tau_, iv_, w_)
+                                 rows, log)
+    n = norb + (1 if norb > 1 else 0)
+    out_tau = np.zeros((n, n, tau_.shape[-1]), dtype=complex)
+    out_iv = np.zeros((n, n, iv_.shape[-1]), dtype=complex)
+    out_w = np.zeros((n, n, w_.shape[-1]), dtype=complex)
+    for a in range(norb):
+        out_tau[a, a], out_iv[a, a], out_w[a, a] = tau_[a], iv_[a], w_[a]
+    if norb > 1:
+        out_tau[norb, norb] = tau_[tot_row]
+        out_iv[norb, norb] = iv_[tot_row]
+        out_w[norb, norb] = w_[tot_row]
+        for (a, b), row in pair_rows.items():
+            out_tau[a, b] = out_tau[b, a] = tau_[row]
+            out_iv[a, b] = out_iv[b, a] = iv_[row]
+            # (1+i) reconstruction applied to χ(ω) as in the reference
+            w_ab = 0.5 * (w_[row] - (1 + 1j) * w_[a] - (1 + 1j) * w_[b])
+            out_w[a, b] = out_w[b, a] = w_ab
+    return out_tau, out_iv, out_w
+
+
+def _nvec(ns, coeffs):
+    up = np.zeros(ns, dtype=complex)
+    dw = np.zeros(ns, dtype=complex)
+    for orb, cf in coeffs.items():
+        up[orb] = dw[orb] = cf
+    return up, dw
 
 
 def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
@@ -179,7 +226,7 @@ def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
 
     rows = [(a, pair_op(a)) for a in range(cfg.norb)]
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, None, log)
+                                 rows, log)
     return _to_matrix(cfg, tau_, iv_, w_)
 
 

@@ -106,3 +106,46 @@ def test_chi_vs_exact(which, builder):
     np.testing.assert_allclose(ct[0, 0], et, atol=1e-7)
     np.testing.assert_allclose(ci[0, 0], ei, atol=1e-7)
     np.testing.assert_allclose(cw[0, 0], ew, atol=1e-7)
+
+
+def test_chi_dens_offdiag_vs_exact_cross():
+    """The (1+i)-combination reconstruction of χ_nn^{ab}(ω) equals the exact
+    Lehmann cross-correlation (validates ED_GF_CHIDENS.f90:280-470 algebra)."""
+    cfg = EDConfig(norb=2, nbath=1, nspin=1, uloc=(1.5, 1.5), ust=0.7,
+                   beta=20.0, lmats=6, lreal=10, ltau=20, wini=-4, wfin=4,
+                   lanc_dim_threshold=10 ** 6, lanc_ngfiter=200).validate()
+    rng = np.random.default_rng(55)
+    bath = Bath(cfg)
+    bath.e[:] = -0.5 + rng.normal(size=bath.e.shape) * 0.3
+    bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = np.diag([0.2, -0.2])
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    ct, ci, cw = chi_mod.build_chi_dens(cfg, slist, zeta, bath, hloc, False)
+    ns = cfg.ns
+    states = list(range(4 ** ns))
+    Tuu, Tdd, Tud, P = single_particle_parts(cfg, bath, hloc)
+    H = ref.build_full_H(ns, 2, Tuu, Tdd, Tud, P,
+                         np.asarray(cfg.uloc_arr[:2]), cfg.ust, cfg.jh,
+                         cfg.jx, cfg.jp, cfg.hfmode, states)
+    evals, U = np.linalg.eigh(H)
+    psi0 = U[:, 0]
+
+    def nop(orb):
+        occ_u = np.array([(s >> orb) & 1 for s in states], float)
+        occ_d = np.array([(s >> (ns + orb)) & 1 for s in states], float)
+        return np.diag(occ_u + occ_d)
+
+    A = U.conj().T @ nop(0) @ psi0
+    B = U.conj().T @ nop(1) @ psi0
+    dE = evals - evals[0]
+    wr = grids.real_axis(cfg)
+    zw = wr + 1j * cfg.eps
+    beta = cfg.beta
+    cross = np.zeros(len(wr), dtype=complex)
+    for m in range(len(evals)):
+        p = np.real(A[m] * np.conj(B[m]))
+        d = dE[m]
+        ebde = np.exp(-beta * d) if beta * d < 200 else 0.0
+        cross += p * (ebde - 1) / (zw - d) + p * (1 - ebde) / (zw + d)
+    np.testing.assert_allclose(cw[0, 1], cross, atol=1e-10)
