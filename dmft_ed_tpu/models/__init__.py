@@ -1,0 +1,19 @@
+"""Model drivers (the reference's drivers/ catalog, config-driven).
+
+Families:
+  hm_bethe            single/multi-band Bethe-lattice Hubbard (canonical)
+  hm_bethe_nbands     multi-band Hund alias
+  ahm_bethe           attractive-U superconducting Bethe
+  bhz_2d              BHZ topological insulator (k-space)
+  soc                 t2g + atomic L.S (nonsu2 + replica bath)
+  kspace              generic k-space loop + square/graphene/haldane/
+                      kane-mele Bloch Hamiltonians
+  nano                real-space DMFT over arbitrary Hij + site symmetry
+  hm_square_lattice   square-flake geometry wrapper over nano
+"""
+
+from . import (hm_bethe, hm_bethe_nbands, ahm_bethe, bhz_2d, soc, kspace,
+               nano, hm_square_lattice)
+
+__all__ = ["hm_bethe", "hm_bethe_nbands", "ahm_bethe", "bhz_2d", "soc",
+           "kspace", "nano", "hm_square_lattice"]

@@ -184,6 +184,12 @@ class EDSolver:
                           suffix=self.suffix, log=self.log)
 
     # ------------------------------------------------------------------
+    def read_sigma(self):
+        """Re-ingest printed impSigma files (ed_read_impSigma restart path,
+        ED_IO/read_impSigma.f90). Returns (Smats, Sreal)."""
+        return edio.read_function(self.cfg, "Sigma", self.suffix)
+
+    # ------------------------------------------------------------------
     # ed_get_* accessors (ED_IO.f90:274-327)
     def get_sigma_matsubara(self):
         return self.result.smats
