@@ -19,7 +19,7 @@ from .bath import Bath
 from .eigenspace import StateList
 from .excitations import apply_diag_op, apply_spin_op
 from .gf_common import HamCache, state_iter
-from .lanczos import lanczos_tridiag, tridiag_eigh
+from .lanczos import lanczos_tridiag_op, tridiag_eigh
 from . import grids
 
 import jax.numpy as jnp
@@ -94,8 +94,9 @@ def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
                 continue
             v0 = jnp.asarray(vv / np.sqrt(norm2))
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-            mv = cache.matvec_flat(jsec)
-            alphas, betas, nsteps = lanczos_tridiag(mv, v0, nlanc)
+            spec, arrays, blocks = cache.op(jsec)
+            alphas, betas, nsteps = lanczos_tridiag_op(spec, blocks, arrays,
+                                                       v0, nlanc)
             nn = max(int(nsteps), 1)
             acc.add(row, cnorm * norm2 / zeta, e_i, egs,
                     np.asarray(alphas[:nn]), np.asarray(betas[:nn]),

@@ -27,8 +27,9 @@ from .sectors import Sector, SectorTable, sector_table, sector_label
 from .bath import Bath
 from .eigenspace import StateList
 from .hamiltonian import (build_sector_hamiltonian, assemble_dense,
-                          make_matvec, flatten_blocks, unflatten_blocks)
-from .lanczos import eigs_lanczos, lanczos_ground_state
+                          make_matvec_op, flatten_blocks, unflatten_blocks)
+from .lanczos import (eigs_lanczos_op, lanczos_ground_state,
+                      lanczos_tridiag_op, tridiag_eigh)
 
 
 @dataclass
@@ -83,28 +84,39 @@ def _solve_sector_dense(ham, neigen: int):
 
 def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng):
     sec = ham.sector
-    matvec_blocks, template = make_matvec(ham, cfg)
-
-    def matvec(x):
-        return flatten_blocks(matvec_blocks(unflatten_blocks(x, sec)))
-
-    dt = template[0].dtype
+    spec, arrays, blocks = make_matvec_op(ham, cfg)
+    cplx = spec[-1].startswith("complex")
     v0 = rng.normal(size=sec.dim)
-    if jnp.issubdtype(dt, jnp.complexfloating):
+    if cplx:
         v0 = v0 + 1j * rng.normal(size=sec.dim)
-    v0 = jnp.asarray(v0, dtype=dt)
+    v0 = jnp.asarray(v0, dtype=jnp.complex128 if cplx
+                     else jnp.dtype(cfg.dtype))
     v0 = v0 / jnp.linalg.norm(v0)
     if cfg.lanc_method.lower() == "lanczos":
-        e0, gs = lanczos_ground_state(matvec, v0,
-                                      niter=min(sec.dim, cfg.lanc_niter),
+        # plain-Lanczos T=0 path (lanc_method='lanczos'): two-pass ground
+        # state via the op-form tridiagonalization
+        niter = min(sec.dim, cfg.lanc_niter)
+        al, be, ns_ = lanczos_tridiag_op(spec, blocks, arrays, v0, niter)
+        n = max(int(ns_), 1)
+        evals, Y = tridiag_eigh(np.asarray(al[:n]), np.asarray(be[:n]))
+        # rebuild |gs> with a second recurrence
+        from .lanczos import lanczos_ground_state
+        from .hamiltonian import apply_op
+        from .lanczos import _unflatten_blocks_static, _flatten_tuple
+
+        def mv(x):
+            return _flatten_tuple(apply_op(spec, arrays,
+                                           _unflatten_blocks_static(x,
+                                                                    blocks)))
+        e0, gs = lanczos_ground_state(mv, v0, niter=niter,
                                       tol=cfg.lanc_tolerance)
         return np.array([e0]), gs[None, :]
     ncv = min(sec.dim,
               cfg.lanc_ncv_factor * max(neigen, cfg.lanc_nstates_sector)
               + cfg.lanc_ncv_add)
-    evals, evecs, _ = eigs_lanczos(matvec, v0, neigen, ncv,
-                                   maxiter=min(sec.dim, cfg.lanc_niter),
-                                   tol=cfg.lanc_tolerance)
+    evals, evecs, _ = eigs_lanczos_op(spec, blocks, arrays, v0, neigen, ncv,
+                                      maxiter=min(sec.dim, cfg.lanc_niter),
+                                      tol=cfg.lanc_tolerance)
     return np.asarray(evals), evecs
 
 

@@ -19,32 +19,30 @@ from .sectors import Sector
 from .bath import Bath
 from .eigenspace import StateList
 from .hamiltonian import (SectorHamiltonian, build_sector_hamiltonian,
-                          make_matvec, flatten_blocks, unflatten_blocks)
-from .lanczos import lanczos_tridiag, tridiag_eigh
+                          make_matvec, make_matvec_op, flatten_blocks,
+                          unflatten_blocks)
+from .lanczos import lanczos_tridiag_op, tridiag_eigh
 
 
 class HamCache:
-    """Per-solve cache of sector Hamiltonians + jitted matvecs
-    (the GF pass revisits each neighbor sector once per state/channel)."""
+    """Per-solve cache of sector operators in spec/arrays form.
+
+    The GF pass revisits each neighbor sector once per state/channel, and
+    the DMFT loop revisits every sector each iteration with new bath values:
+    the spec/arrays split keeps the jit compile keys stable across
+    iterations (only the structure, not the values, keys the compile)."""
 
     def __init__(self, cfg: EDConfig, bath: Bath, hloc: np.ndarray):
         self.cfg, self.bath, self.hloc = cfg, bath, hloc
-        self._h: Dict[int, SectorHamiltonian] = {}
-        self._mv: Dict[int, callable] = {}
+        self._op: Dict[int, tuple] = {}
 
-    def matvec_flat(self, sector: Sector):
+    def op(self, sector: Sector):
         key = sector.index
-        if key not in self._mv:
+        if key not in self._op:
             ham = build_sector_hamiltonian(self.cfg, sector, self.bath,
                                            self.hloc)
-            self._h[key] = ham
-            mvb, _ = make_matvec(ham, self.cfg)
-
-            def mv(x, _mvb=mvb, _sec=sector):
-                return flatten_blocks(_mvb(unflatten_blocks(x, _sec)))
-
-            self._mv[key] = mv
-        return self._mv[key]
+            self._op[key] = make_matvec_op(ham, self.cfg)
+        return self._op[key]
 
 
 def krylov_poles(cfg: EDConfig, cache: HamCache, jsec: Sector,
@@ -62,8 +60,9 @@ def krylov_poles(cfg: EDConfig, cache: HamCache, jsec: Sector,
         return np.zeros(0, dtype=complex), np.zeros(0)
     v0 = jnp.asarray(vvinit / np.sqrt(norm2))
     nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-    mv = cache.matvec_flat(jsec)
-    alphas, betas, nsteps = lanczos_tridiag(mv, v0, nlanc)
+    spec, arrays, blocks = cache.op(jsec)
+    alphas, betas, nsteps = lanczos_tridiag_op(spec, blocks, arrays, v0,
+                                               nlanc)
     n = max(int(nsteps), 1)
     evals, Z = tridiag_eigh(np.asarray(alphas[:n]), np.asarray(betas[:n]))
     beta_T = cfg.beta

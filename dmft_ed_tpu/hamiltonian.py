@@ -419,6 +419,12 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
     """Returns (matvec, vec_template) where matvec maps a tuple of per-block
     matrices to same. All operator data are closed-over device constants;
     matvec is jit-compatible and fully static-shaped.
+
+    NOTE: each call creates a fresh closure — jit caches keyed on function
+    identity recompile per call. Hot paths (DMFT loops revisiting sectors
+    with new bath values) should use `make_matvec_op` + `apply_op`, which
+    split the operator into a hashable structure spec (compile key) and a
+    pytree of arrays (traced arguments).
     """
     sec = ham.sector
     rdtype = jnp.dtype(cfg.dtype)
@@ -532,3 +538,137 @@ def unflatten_blocks(x, sector: Sector):
 def np_unflatten_blocks(x: np.ndarray, sector: Sector):
     return tuple(np.asarray(x[b.offset:b.offset + b.dim]).reshape(b.ddw, b.dup)
                  for b in sector.blocks)
+
+
+# ----------------------------------------------------------------------
+# spec/arrays operator form: stable compile keys across DMFT iterations
+# ----------------------------------------------------------------------
+#
+# The closure form above recompiles whenever a sector Hamiltonian is rebuilt
+# (every DMFT iteration). Here the operator is split into
+#   spec   — a hashable tuple describing the block structure, term kinds and
+#            shapes (the jit compile key), and
+#   arrays — a flat tuple of device arrays (diagonals, dense/COO/ozaki data)
+#            passed as traced arguments.
+# `_applier(spec)` is lru-cached, so its identity is stable and jitted
+# callers (Lanczos loops) retrace only when the structure changes.
+
+from functools import lru_cache as _lru_cache
+
+
+def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
+    """Returns (spec, arrays, shapes): use with `apply_op(spec, arrays, V)`
+    or `lanczos.lanczos_tridiag_op`."""
+    sec = ham.sector
+    rdtype = jnp.dtype(cfg.dtype)
+    cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
+    vdtype = cdtype if is_cplx else rdtype
+    thr = cfg.dense_matmul_threshold
+    ozaki_n = 0
+    if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
+            and rdtype == jnp.float64:
+        ozaki_n = int(cfg.matmul_precision[5:] or 6)
+
+    arrays = []
+
+    def push(*arrs):
+        i0 = len(arrays)
+        arrays.extend(arrs)
+        return tuple(range(i0, len(arrays)))
+
+    def enc(coo: SpinCOO, side: str):
+        n, m = coo.shape
+        if max(n, m) <= thr:
+            dense = coo.to_dense()
+            if ozaki_n:
+                from . import ozaki as _oz
+                if side == "left":
+                    op = _oz.SlicedMatrix(dense, ozaki_n)
+                else:
+                    op = _oz.SlicedRightOperand(dense.T, ozaki_n)
+                idx = push(op.digits, op.scales)
+                return ("oz" + side[0], ozaki_n) + idx
+            idx = push(jnp.asarray(dense, dtype=vdtype))
+            return ("dense",) + idx
+        if coo.rows.size == 0:
+            return ("none",)
+        idx = push(jnp.asarray(coo.rows, dtype=jnp.int32),
+                   jnp.asarray(coo.cols, dtype=jnp.int32),
+                   jnp.asarray(coo.vals, dtype=vdtype))
+        return ("coo",) + idx
+
+    blocks = tuple((b.ddw, b.dup) for b in sec.blocks)
+    diag_idx = []
+    hup_spec = []
+    hdw_spec = []
+    for bi, blk in enumerate(sec.blocks):
+        diag_idx.append(push(jnp.asarray(ham.diag[bi], dtype=rdtype))[0])
+        hup_spec.append(enc(ham.hup[bi], "right"))
+        hdw_spec.append(enc(ham.hdw[bi], "left"))
+    mix_spec = []
+    for t in ham.mix:
+        up = enc(t.up, "right") if t.up is not None else None
+        dw = enc(t.dw, "left") if t.dw is not None else None
+        cidx = push(jnp.asarray(t.coeff, dtype=vdtype))[0]
+        mix_spec.append((t.src, t.dst, up, dw, cidx))
+    spec = (blocks, tuple(diag_idx), tuple(hup_spec), tuple(hdw_spec),
+            tuple(mix_spec), str(vdtype))
+    return spec, tuple(arrays), blocks
+
+
+@_lru_cache(maxsize=512)
+def _applier(spec):
+    """Python apply function for a given operator structure (stable id)."""
+    blocks, diag_idx, hup_spec, hdw_spec, mix_spec, _ = spec
+
+    def app(kind_spec, arrays, v, side, out_dim):
+        kind = kind_spec[0]
+        if kind == "none":
+            return None
+        if kind == "dense":
+            dat = arrays[kind_spec[1]]
+            return v @ dat.T if side == "right" else dat @ v
+        if kind in ("ozr", "ozl"):
+            from . import ozaki as _oz
+            nsl = kind_spec[1]
+            dg, sc = arrays[kind_spec[2]], arrays[kind_spec[3]]
+            if kind == "ozr":
+                return _oz.right_sliced_matmul(v, dg, sc, nsl)
+            return _oz.sliced_matmul(dg, sc, v, nsl)
+        rows, cols, vals = (arrays[i] for i in kind_spec[1:4])
+        if side == "right":
+            return _apply_spin_coo_up(v, (rows, cols, vals), out_dim)
+        return _apply_spin_coo_dw(v, (rows, cols, vals), out_dim)
+
+    def matvec(arrays, V):
+        Y = []
+        for bi, (ddw, dup) in enumerate(blocks):
+            v = V[bi]
+            y = arrays[diag_idx[bi]] * v
+            r = app(hup_spec[bi], arrays, v, "right", dup)
+            if r is not None:
+                y = y + r
+            r = app(hdw_spec[bi], arrays, v, "left", ddw)
+            if r is not None:
+                y = y + r
+            Y.append(y)
+        for (src, dst, up, dw, cidx) in mix_spec:
+            v = V[src]
+            if up is not None:
+                v = app(up, arrays, v, "right", blocks[dst][1])
+                if v is None:
+                    continue
+            if dw is not None:
+                v = app(dw, arrays, v, "left", blocks[dst][0])
+                if v is None:
+                    continue
+            Y[dst] = Y[dst] + arrays[cidx] * v
+        return tuple(Y)
+
+    return matvec
+
+
+def apply_op(spec, arrays, V):
+    """H·V in the spec/arrays form (wrap in jit with spec static)."""
+    return _applier(spec)(arrays, V)

@@ -213,3 +213,125 @@ def lanczos_ground_state(matvec: Callable, v0: jnp.ndarray,
     gs = carry[3]
     gs = gs / jnp.linalg.norm(gs)
     return float(evals[0]), gs
+
+
+# ----------------------------------------------------------------------
+# spec/arrays operator interface (stable jit keys across DMFT iterations)
+# ----------------------------------------------------------------------
+# The closure-based entry points above retrace whenever a new matvec closure
+# is created (every sector rebuild). These variants take the operator as
+# (spec, blocks, arrays) from hamiltonian.make_matvec_op: spec/blocks are
+# hashable static arguments, arrays are traced — recompilation happens only
+# when the sector *structure* changes.
+
+def _flatten_tuple(Y):
+    return jnp.concatenate([y.reshape(-1) for y in Y])
+
+
+def _unflatten_blocks_static(x, blocks):
+    out = []
+    off = 0
+    for (ddw, dup) in blocks:
+        out.append(x[off:off + ddw * dup].reshape(ddw, dup))
+        off += ddw * dup
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def lanczos_tridiag_op(spec, blocks, arrays, v0, niter: int):
+    """lanczos_tridiag with the operator in spec/arrays form."""
+    from .hamiltonian import apply_op
+
+    def mv(x):
+        V = _unflatten_blocks_static(x, blocks)
+        return _flatten_tuple(apply_op(spec, arrays, V))
+
+    return _lanczos_tridiag_impl(mv, v0, niter)
+
+
+def _lanczos_tridiag_impl(matvec, v0, niter: int):
+    dt = v0.dtype
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) else jnp.float32
+
+    def step(carry, _):
+        v_prev, v, b_prev, alive = carry
+        w = matvec(v)
+        a = jnp.real(jnp.vdot(v, w))
+        w = w - a * v - b_prev * v_prev
+        b = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        ok = alive & (b > _BREAKDOWN)
+        v_next = jnp.where(ok, w / jnp.where(b > 0, b, 1.0),
+                           jnp.zeros_like(w))
+        out_a = jnp.where(alive, a, 0.0)
+        out_b = jnp.where(ok, b, 0.0)
+        return (jnp.where(ok, v, v_prev), v_next, jnp.where(ok, b, 0.0),
+                ok), (out_a.astype(rdt), out_b.astype(rdt), alive)
+
+    init = (jnp.zeros_like(v0), v0, jnp.asarray(0.0, rdt), jnp.asarray(True))
+    _, (alphas, betas, alive) = jax.lax.scan(step, init, None, length=niter)
+    nsteps = jnp.sum(alive.astype(jnp.int32))
+    betas_out = jnp.concatenate([jnp.ones(1, rdt), betas[:-1]])
+    return alphas, betas_out, nsteps
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _expand_op(spec, blocks, arrays, V, T, j0: int, m: int):
+    """`_expand` with the operator in spec/arrays form."""
+    from .hamiltonian import apply_op
+
+    def mv(x):
+        Vb = _unflatten_blocks_static(x, blocks)
+        return _flatten_tuple(apply_op(spec, arrays, Vb))
+
+    return _expand(mv, V, T, j0, m)
+
+
+def eigs_lanczos_op(spec, blocks, arrays, v0, neigen, ncv, maxiter=512,
+                    tol=1e-12):
+    """Thick-restart Lanczos with stable compile keys (see eigs_lanczos)."""
+    dim = v0.shape[0]
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    dt = v0.dtype
+    k = neigen
+    V = jnp.zeros((ncv + 1, dim), dtype=dt)
+    V = V.at[0].set(v0 / jnp.linalg.norm(v0))
+    T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+    niter = 0
+    j0 = 0
+    restarts = max(1, int(np.ceil(maxiter / max(ncv - k, 1))))
+    evals = None
+    for it in range(restarts):
+        V, T, betas = _expand_op(spec, blocks, arrays, V, T, j0, ncv)
+        niter += ncv - j0
+        betas_h = np.asarray(betas)
+        m_eff = ncv
+        bad = np.nonzero(betas_h < _BREAKDOWN)[0]
+        if bad.size:
+            m_eff = j0 + int(bad[0]) + 1
+        Th = np.asarray(T[:m_eff, :m_eff])
+        evals_all, Y = np.linalg.eigh(Th)
+        k_eff = min(k, m_eff)
+        evals = evals_all[:k_eff]
+        beta_m = float(np.asarray(T[m_eff, m_eff - 1]).real) \
+            if m_eff < ncv + 1 else 0.0
+        resid = np.abs(beta_m * Y[m_eff - 1, :k_eff])
+        if np.all(resid < max(tol, 1e-14) * np.maximum(1.0, np.abs(evals))) \
+                or m_eff < ncv or niter >= maxiter:
+            Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+            return evals, (Yk.T @ V[:m_eff]), niter
+        Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+        ritz = Yk.T @ V[:m_eff]
+        vres = V[m_eff]
+        V = jnp.zeros((ncv + 1, dim), dtype=dt)
+        V = V.at[:k_eff].set(ritz)
+        V = V.at[k_eff].set(vres)
+        T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+        T = T.at[jnp.arange(k_eff), jnp.arange(k_eff)].set(
+            jnp.asarray(evals).astype(dt))
+        s = jnp.asarray(beta_m * Y[m_eff - 1, :k_eff], dtype=dt)
+        T = T.at[k_eff, :k_eff].set(jnp.conj(s))
+        T = T.at[:k_eff, k_eff].set(s)
+        j0 = k_eff
+    Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+    return evals, (Yk.T @ V[:m_eff]), niter
