@@ -204,3 +204,50 @@ def coo_to_dense(rows, cols, vals, shape) -> np.ndarray:
     out = np.zeros(shape, dtype=np.result_type(np.asarray(vals).dtype, np.float64))
     np.add.at(out, (rows, cols), vals)
     return out
+
+
+# ----------------------------------------------------------------------
+# Jz-basis support: per-spin orbital angular momentum classes
+# ----------------------------------------------------------------------
+
+# t2g effective orbital angular momenta (ED_VARS_GLOBAL.f90:207-208)
+LZDIAG_T2G = (-1, +1, 0)
+SZDIAG = (+1, -1)
+
+
+@lru_cache(maxsize=None)
+def lz_values(ns: int, n: int, norb: int) -> np.ndarray:
+    """twoLz = Σ_levels 2·Lz(orb)·n_level for each state of the (ns, n)
+    basis; orbital character repeats every `norb` levels (replica-bath
+    layout, the only one jz_basis supports — ED_SETUP.f90:880-885)."""
+    assert norb == 3, "Jz basis defined for t2g (Norb=3)"
+    st = spin_states(ns, n)
+    orb_lz = np.array([LZDIAG_T2G[lv % norb] for lv in range(ns)])
+    occ = bdecomp(st, ns).astype(np.int64)
+    return 2 * (occ * orb_lz[None, :]).sum(axis=1)
+
+
+@lru_cache(maxsize=None)
+def lz_classes(ns: int, n: int, norb: int):
+    """{twoLz: colex-index array} partition of the (ns, n) basis."""
+    lz = lz_values(ns, n, norb)
+    return {int(l): np.nonzero(lz == l)[0] for l in np.unique(lz)}
+
+
+@lru_cache(maxsize=None)
+def lz_class_pos(ns: int, n: int, norb: int):
+    """{twoLz: position array}: global colex rank -> position within the
+    class (or -1)."""
+    out = {}
+    dim = comb(ns, n)
+    for l, idx in lz_classes(ns, n, norb).items():
+        pos = np.full(dim, -1, dtype=np.int64)
+        pos[idx] = np.arange(idx.size)
+        out[l] = pos
+    return out
+
+
+def restrict_coo(rows, cols, vals, row_pos, col_pos):
+    """Filter a COO to a (row, col) sub-basis pair, remapping indices."""
+    ok = (row_pos[rows] >= 0) & (col_pos[cols] >= 0)
+    return row_pos[rows[ok]], col_pos[cols[ok]], vals[ok]

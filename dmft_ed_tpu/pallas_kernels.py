@@ -13,6 +13,12 @@ f32 pair; the f64 combine + row/col scaling is two cheap XLA ops.
 Falls back transparently to the XLA composition when Pallas/TPU is
 unavailable (ozaki.matmul remains the reference implementation; the unit
 tests run this kernel in interpreter mode on CPU).
+
+KNOWN ISSUE: the axon remote-compile Mosaic build in this container fails
+to legalize gridded matmul kernels ('func.return' legalization error) even
+for plain f32 dots, while ungridded kernels compile fine — the kernel is
+correct under the interpreter and pending a Mosaic toolchain update for
+on-TPU use (see PERF_NOTES.md). Production uses the XLA ozaki composition.
 """
 
 from __future__ import annotations
@@ -28,14 +34,20 @@ from jax.experimental import pallas as pl
 _BITS = 6
 
 
-def _digit_matmul_kernel(nslices, ad_ref, bd_ref, hi_ref, lo_ref):
-    """One [TM, TN] output tile; ad [P, TM, K] int8, bd [P, K, TN] int8."""
-    hi = jnp.zeros(hi_ref.shape, dtype=jnp.float32)
-    lo = jnp.zeros(lo_ref.shape, dtype=jnp.float32)
+def _digit_matmul_kernel(nslices, tn, *refs):
+    """One [TM, 2*TN] output tile (hi | lo packed along columns).
+
+    refs = ad_0..ad_{P-1} [TM, K] int8, bd_0..bd_{P-1} [K, TN] int8, out.
+    """
+    ad = refs[:nslices]
+    bd = refs[nslices:2 * nslices]
+    out_ref = refs[2 * nslices]
+    hi = jnp.zeros((ad[0].shape[0], tn), dtype=jnp.float32)
+    lo = jnp.zeros((ad[0].shape[0], tn), dtype=jnp.float32)
     for p in range(nslices):
         for q in range(nslices - p):
             prod = jax.lax.dot_general(
-                ad_ref[p], bd_ref[q],
+                ad[p][:], bd[q][:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             x = prod.astype(jnp.float32) * np.float32(
@@ -46,8 +58,8 @@ def _digit_matmul_kernel(nslices, ad_ref, bd_ref, hi_ref, lo_ref):
             err = (hi - (s - bp)) + (x - bp)
             hi = s
             lo = lo + err
-    hi_ref[:] = hi
-    lo_ref[:] = lo
+    out_ref[:, :tn] = hi
+    out_ref[:, tn:] = lo
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -57,29 +69,28 @@ def digit_matmul_tiles(ad, bd, nslices: int, tm: int = 256, tn: int = 256,
 
     ad: [P, M, K] int8 digit slices of the row-scaled left operand,
     bd: [P, K, N] int8 digit slices of the column-scaled right operand.
-    M, N must be multiples of (tm, tn).
+    M, N must be multiples of (tm, tn). Returns (hi [M, N], lo [M, N]).
     """
     P, M, K = ad.shape
     N = bd.shape[2]
     grid = (M // tm, N // tn)
-    kernel = partial(_digit_matmul_kernel, nslices)
-    hi, lo = pl.pallas_call(
+    kernel = partial(_digit_matmul_kernel, nslices, tn)
+    a_specs = [pl.BlockSpec((tm, K), lambda i, j: (i, 0))
+               for _ in range(nslices)]
+    b_specs = [pl.BlockSpec((K, tn), lambda i, j: (0, j))
+               for _ in range(nslices)]
+    out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((P, tm, K), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((P, K, tn), lambda i, j: (0, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
-            pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, N), jnp.float32),
-            jax.ShapeDtypeStruct((M, N), jnp.float32),
-        ],
+        in_specs=a_specs + b_specs,
+        out_specs=pl.BlockSpec((tm, 2 * tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, 2 * N), jnp.float32),
         interpret=interpret,
-    )(ad, bd)
+    )(*[ad[p] for p in range(nslices)], *[bd[p] for p in range(nslices)])
+    # unpack the column-packed (hi | lo) tiles
+    out = out.reshape(M, N // tn, 2, tn)
+    hi = out[:, :, 0, :].reshape(M, N)
+    lo = out[:, :, 1, :].reshape(M, N)
     return hi, lo
 
 
