@@ -74,6 +74,46 @@ def atomic_soc(nspin: int = 2, norb: int = 3) -> np.ndarray:
     return ls
 
 
+def orbital_lz_rotation(nspin: int = 2, norb: int = 3) -> np.ndarray:
+    """{cubic t2g} -> {Lz eigenbasis} rotation, [Nso, Nso] spin-block
+    diagonal (orbital_Lz_rotation_NorbNspin, ED_AUX_FUNX.f90). In the
+    rotated basis Lz is diagonal = Lzdiag = [-1, +1, 0] — required for
+    Jz_basis runs."""
+    assert nspin == 2 and norb == 3
+    u = np.zeros((3, 3), dtype=complex)
+    u[0, 0] = -1j / np.sqrt(2)
+    u[1, 1] = 1 / np.sqrt(2)
+    u[2, 2] = 1j
+    u[0, 1] = -1j / np.sqrt(2)
+    u[1, 0] = -1 / np.sqrt(2)
+    U = np.zeros((6, 6), dtype=complex)
+    U[:3, :3] = u
+    U[3:, 3:] = u
+    return U
+
+
+def atomic_soc_jz(nspin: int = 2, norb: int = 3) -> np.ndarray:
+    """Atomic L.S expressed in the Lz eigenbasis ([Nspin,Nspin,Norb,Norb]),
+    the form used by Jz_basis runs (set_dmft_bath replica/nonsu2 branch:
+    hrep = eps·1 + λ·U† (L.S) U, ED_BATH/dmft_aux.f90:699-706).
+
+    NOTE basis ordering: the rotation acts in the orbital-major space but
+    our so-layout is spin-major — handled via the nn<->so reshapes."""
+    U = orbital_lz_rotation(nspin, norb)
+    ls_so = nn2so(atomic_soc(nspin, norb), nspin, norb)
+    # convert spin-major <-> orbital-major: build permutation
+    perm = np.array([o * nspin + s for s in range(nspin)
+                     for o in range(norb)])
+    # ls_os[i,j] with i = orb-major index
+    ls_os = ls_so  # our nn2so gives spin-major (io = s*Norb + a)
+    # The reference U blocks are orbital-space per spin: in spin-major so
+    # layout, U_so = kron(I_spin, u) with io = s*Norb + a -> block diag in a.
+    u = U[:3, :3]
+    U_so = np.kron(np.eye(nspin), u)
+    out_so = U_so.conj().T @ ls_so @ U_so
+    return so2nn(out_so, nspin, norb)
+
+
 # ----------------------------------------------------------------------
 # chemical potential search (secant on the density)
 # ----------------------------------------------------------------------

@@ -133,6 +133,8 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                                                  cfg.lanc_nstates_sector)
 
     smask = sectors_mask(cfg, table, suffix)
+    if cfg.ed_twin and cfg.jz_basis:
+        raise NotImplementedError("ed_twin is not supported with jz_basis")
     tmask = table.twin_mask() if cfg.ed_twin else np.ones(len(table), bool)
     finite_t = state.lanc_nstates_total > 1
 
@@ -143,6 +145,10 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
     it = 0
     for sec in table.sectors:
         if not (smask[sec.index] and tmask[sec.index]) or sec.dim == 0:
+            continue
+        # Jz_max pruning (ED_DIAG.f90:73)
+        if cfg.jz_basis and cfg.jz_max and \
+                abs(sec.qn[2]) > int(2 * cfg.jz_max_value):
             continue
         it += 1
         tflag = cfg.ed_twin and tmask[sec.index]

@@ -33,34 +33,68 @@ def apply_spin_op(cfg: EDConfig, table: SectorTable, sector: Sector,
     """w = c^(†)_{level, spin} v. Returns (target_sector, flat vector) or None.
 
     spin: 0=up, 1=dw; level is the 0-based site index within a spin species.
+    In the Jz basis, the target sector and sub-blocks follow the per-level
+    twoJz shift and class-changing components are membership-filtered.
     """
-    jsec = (table.cdg_sector if dagger else table.c_sector)(sector, spin)
+    jsec = (table.cdg_sector if dagger else table.c_sector)(sector, spin,
+                                                            level)
     if jsec is None:
         return None
     ns = cfg.ns
+    jz = sector.subsel is not None
     Vb = np_unflatten_blocks(np.asarray(vec_flat), sector)
     out = np.zeros(jsec.dim, dtype=np.asarray(vec_flat).dtype)
     dn = 1 if dagger else -1
-    for blk, V in zip(sector.blocks, Vb):
+    for bi, (blk, V) in enumerate(zip(sector.blocks, Vb)):
+        lup, ldw = sector.block_lz(bi)
         if spin == 0:
-            tgt = jsec.block_of(blk.nup + dn, blk.ndw)
-            if tgt is None:
-                continue
-            r, c, s = _op_coo(ns, blk.nup, level, dagger)
+            n_src = blk.nup
+            key = (blk.nup + dn, blk.ndw)
+            if jz:
+                from .fock import LZDIAG_T2G
+                lup_t = lup + dn * 2 * LZDIAG_T2G[level % 3]
+                ti = jsec.block_index_of(*key, lup_t, ldw)
+            else:
+                ti = jsec.block_index_of(*key)
+        else:
+            n_src = blk.ndw
+            key = (blk.nup, blk.ndw + dn)
+            if jz:
+                from .fock import LZDIAG_T2G
+                ldw_t = ldw + dn * 2 * LZDIAG_T2G[level % 3]
+                ti = jsec.block_index_of(*key, lup, ldw_t)
+            else:
+                ti = jsec.block_index_of(*key)
+        if ti is None:
+            continue
+        tgt = jsec.blocks[ti]
+        r, c, s = _op_coo(ns, n_src, level, dagger)
+        if r.size == 0:
+            continue
+        if jz:
+            from math import comb as _comb
+            from .fock import restrict_coo
+            if spin == 0:
+                row_sel = jsec.up_sel(ti)
+                col_sel = sector.up_sel(bi)
+                nr = _comb(ns, blk.nup + dn)
+            else:
+                row_sel = jsec.dw_sel(ti)
+                col_sel = sector.dw_sel(bi)
+                nr = _comb(ns, blk.ndw + dn)
+            nc = _comb(ns, n_src)
+            rp = np.full(nr, -1, np.int64)
+            rp[row_sel] = np.arange(row_sel.size)
+            cp = np.full(nc, -1, np.int64)
+            cp[col_sel] = np.arange(col_sel.size)
+            r, c, s = restrict_coo(r, c, s, rp, cp)
             if r.size == 0:
                 continue
-            W = np.zeros((tgt.ddw, tgt.dup), dtype=out.dtype)
-            # W[:, r] += s * V[:, c]
+        W = np.zeros((tgt.ddw, tgt.dup), dtype=out.dtype)
+        if spin == 0:
             np.add.at(W, (slice(None), r), s[None, :] * V[:, c])
         else:
-            tgt = jsec.block_of(blk.nup, blk.ndw + dn)
-            if tgt is None:
-                continue
-            r, c, s = _op_coo(ns, blk.ndw, level, dagger)
-            if r.size == 0:
-                continue
-            phase = -1.0 if blk.nup % 2 else 1.0  # JW string over all up bits
-            W = np.zeros((tgt.ddw, tgt.dup), dtype=out.dtype)
+            phase = -1.0 if blk.nup % 2 else 1.0  # JW string over up bits
             np.add.at(W, (r, slice(None)), (phase * s)[:, None] * V[c, :])
         out[tgt.offset:tgt.offset + tgt.dim] += W.ravel()
     return jsec, out
@@ -80,7 +114,12 @@ def apply_op_combo(cfg: EDConfig, table: SectorTable, sector: Sector,
         if jsec is None:
             jsec = js
             acc = np.zeros(js.dim, dtype=np.result_type(w.dtype, type(coeff)))
-        assert js is jsec, "combo terms must share the target sector"
+        if js is not jsec:
+            if sector.subsel is not None:
+                # Jz basis: combo components with different Jz shifts do not
+                # interfere; the reference drops them (ED_OBSERVABLES j==0)
+                continue
+            raise AssertionError("combo terms must share the target sector")
         acc = acc + coeff * w
     return jsec, acc
 
@@ -92,9 +131,14 @@ def apply_diag_op(cfg: EDConfig, sector: Sector, vec_flat: np.ndarray,
     ns = cfg.ns
     Vb = np_unflatten_blocks(np.asarray(vec_flat), sector)
     out = np.zeros(sector.dim, dtype=np.asarray(vec_flat).dtype)
-    for blk, V in zip(sector.blocks, Vb):
-        du = fock.occupations(ns, blk.nup) @ np.asarray(up_weights)
-        dd = fock.occupations(ns, blk.ndw) @ np.asarray(dw_weights)
+    for bi, (blk, V) in enumerate(zip(sector.blocks, Vb)):
+        occ_u = fock.occupations(ns, blk.nup)
+        occ_d = fock.occupations(ns, blk.ndw)
+        if sector.subsel is not None:
+            occ_u = occ_u[sector.up_sel(bi)]
+            occ_d = occ_d[sector.dw_sel(bi)]
+        du = occ_u @ np.asarray(up_weights)
+        dd = occ_d @ np.asarray(dw_weights)
         W = V * du[None, :] + V * dd[:, None]
         out[blk.offset:blk.offset + blk.dim] = W.ravel()
     return out

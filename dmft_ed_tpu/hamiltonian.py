@@ -29,6 +29,7 @@ on-the-fly.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from math import comb
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -222,6 +223,33 @@ def _spin_quadratic(ns: int, n: int, T: np.ndarray) -> SpinCOO:
 # sector Hamiltonian assembly
 # ----------------------------------------------------------------------
 
+def _pos_map(sel: np.ndarray, dim: int) -> np.ndarray:
+    pos = np.full(dim, -1, dtype=np.int64)
+    pos[sel] = np.arange(sel.size)
+    return pos
+
+
+def _maybe_restrict(coo_tuple, shape_full, row_pos, col_pos):
+    """Restrict raw (rows, cols, vals) to sub-bases; None pos = identity."""
+    rows, cols, vals = coo_tuple
+    nr, nc = shape_full
+    if row_pos is None and col_pos is None:
+        return SpinCOO(rows, cols, np.asarray(vals), (nr, nc))
+    if row_pos is None:
+        row_pos = np.arange(nr)
+        nrr = nr
+    else:
+        nrr = int((row_pos >= 0).sum())
+    if col_pos is None:
+        col_pos = np.arange(nc)
+        ncc = nc
+    else:
+        ncc = int((col_pos >= 0).sum())
+    r, c, v = fock.restrict_coo(np.asarray(rows), np.asarray(cols),
+                                np.asarray(vals), row_pos, col_pos)
+    return SpinCOO(r, c, v, (nrr, ncc))
+
+
 def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
                              hloc: np.ndarray) -> SectorHamiltonian:
     ns, norb = cfg.ns, cfg.norb
@@ -231,33 +259,57 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
     uloc = np.asarray(cfg.uloc_arr[:norb])
     ust, jh, jx, jp = cfg.ust, cfg.jh, cfg.jx, cfg.jp
     jhflag = (jx != 0.0) or (jp != 0.0)
+    jz = sector.subsel is not None
+    if jz:
+        assert cfg.ed_mode == "nonsu2", "sub-selected blocks imply Jz basis"
+        from .fock import LZDIAG_T2G
 
     diag: List[np.ndarray] = []
     hup: List[SpinCOO] = []
     hdw: List[SpinCOO] = []
     mix: List[MixTerm] = []
 
-    blk_index = {(b.nup, b.ndw): i for i, b in enumerate(sector.blocks)}
+    blk_index = {}
+    for i, b in enumerate(sector.blocks):
+        if not jz:
+            blk_index[(b.nup, b.ndw)] = i
+
+    def pos_of(n, sel):
+        return None if sel is None else _pos_map(sel, comb(ns, n))
 
     for bi, blk in enumerate(sector.blocks):
         nup, ndw = blk.nup, blk.ndw
-        # --- per-spin quadratic off-diagonal parts
-        hup.append(_spin_quadratic(ns, nup, Tuu))
-        hdw.append(_spin_quadratic(ns, ndw, Tdd))
+        up_sel = sector.up_sel(bi)
+        dw_sel = sector.dw_sel(bi)
+        lup, ldw = sector.block_lz(bi)
+        up_pos = pos_of(nup, up_sel)
+        dw_pos = pos_of(ndw, dw_sel)
+        # --- per-spin quadratic off-diagonal parts (restricted to the
+        # Lz class in the Jz basis — class-changing entries violate Jz
+        # conservation and are dropped, cf. the `if(Jz_basis.and.j==0)cycle`
+        # guards in ED_OBSERVABLES.f90:810+)
+        hu = _spin_quadratic(ns, nup, Tuu)
+        hd = _spin_quadratic(ns, ndw, Tdd)
+        hup.append(_maybe_restrict((hu.rows, hu.cols, hu.vals), hu.shape,
+                                   up_pos, up_pos))
+        hdw.append(_maybe_restrict((hd.rows, hd.cols, hd.vals), hd.shape,
+                                   dw_pos, dw_pos))
 
         # --- diagonal: single-particle diag + interaction (Hint.f90)
-        occ_u = fock.occupations(ns, nup)            # [dup, Ns]
-        occ_d = fock.occupations(ns, ndw)            # [ddw, Ns]
+        occ_u = fock.occupations(ns, nup)            # [dup_full, Ns]
+        occ_d = fock.occupations(ns, ndw)
+        if up_sel is not None:
+            occ_u = occ_u[up_sel]
+        if dw_sel is not None:
+            occ_d = occ_d[dw_sel]
         d_up = occ_u @ np.real(np.diag(Tuu))         # [dup]
-        d_dw = occ_d @ np.real(np.diag(Tdd))         # [ddw]
+        d_dw = occ_d @ np.real(np.diag(Tdd))
         nu = occ_u[:, :norb]                          # impurity occupations
         nd = occ_d[:, :norb]
-        # same-spin orbital repulsion (Ust - Jh) Σ_{a<b} n_a n_b
         if norb > 1:
             M = np.triu(np.ones((norb, norb)), 1)
             d_up = d_up + (ust - jh) * np.einsum("ia,ab,ib->i", nu, M, nu)
             d_dw = d_dw + (ust - jh) * np.einsum("ia,ab,ib->i", nd, M, nd)
-        # Hartree shift (hfmode)
         if cfg.hfmode:
             d_up = d_up - 0.5 * nu @ uloc
             d_dw = d_dw - 0.5 * nd @ uloc
@@ -269,9 +321,8 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
                 const += 0.25 * (ust + (ust - jh)) * npairs
         else:
             const = 0.0
-        # opposite-spin interactions: Uloc n_up,a n_dw,a + Ust Σ_{a≠b} n_up,a n_dw,b
         W = np.diag(uloc) + ust * (np.ones((norb, norb)) - np.eye(norb))
-        D = nd @ W @ nu.T                             # [ddw, dup]
+        D = nd @ W @ nu.T
         D = D + d_up[None, :] + d_dw[:, None] + const
         diag.append(np.ascontiguousarray(D))
 
@@ -281,25 +332,39 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
                 for b in range(norb):
                     if a == b:
                         continue
-                    # S-E: Jx c†_{a,up} c†_{b,dw} c_{a,dw} c_{b,up}
-                    #   up: c†_a c_b (same block), dw: c†_b c_a
-                    up = fock.hop_op(ns, nup, a, b)
-                    dw = fock.hop_op(ns, ndw, b, a)
-                    if up[0].size and dw[0].size and jx != 0.0:
-                        mix.append(MixTerm(
-                            bi, bi,
-                            SpinCOO(*up, (blk.dup, blk.dup)),
-                            SpinCOO(*dw, (blk.ddw, blk.ddw)), jx))
-                    # P-H: Jp c†_{a,up} c†_{a,dw} c_{b,dw} c_{b,up}
-                    #   up: c†_a c_b, dw: c†_a c_b
-                    if jp != 0.0:
-                        up2 = fock.hop_op(ns, nup, a, b)
-                        dw2 = fock.hop_op(ns, ndw, a, b)
-                        if up2[0].size and dw2[0].size:
+                    for coeff, up_ab, dw_ab in (
+                            (jx, (a, b), (b, a)),    # S-E
+                            (jp, (a, b), (a, b))):   # P-H
+                        if coeff == 0.0:
+                            continue
+                        up = fock.hop_op(ns, nup, *up_ab)
+                        dw = fock.hop_op(ns, ndw, *dw_ab)
+                        if not (up[0].size and dw[0].size):
+                            continue
+                        if not jz:
                             mix.append(MixTerm(
                                 bi, bi,
-                                SpinCOO(*up2, (blk.dup, blk.dup)),
-                                SpinCOO(*dw2, (blk.ddw, blk.ddw)), jp))
+                                SpinCOO(*up, (blk.dup, blk.dup)),
+                                SpinCOO(*dw, (blk.ddw, blk.ddw)), coeff))
+                        else:
+                            dl = 2 * (LZDIAG_T2G[up_ab[0] % 3]
+                                      - LZDIAG_T2G[up_ab[1] % 3])
+                            dl_dw = 2 * (LZDIAG_T2G[dw_ab[0] % 3]
+                                         - LZDIAG_T2G[dw_ab[1] % 3])
+                            ti = sector.block_index_of(nup, ndw, lup + dl,
+                                                       ldw + dl_dw)
+                            if ti is None:
+                                continue
+                            upc = _maybe_restrict(up, (comb(ns, nup),) * 2,
+                                                  pos_of(nup,
+                                                         sector.up_sel(ti)),
+                                                  up_pos)
+                            dwc = _maybe_restrict(dw, (comb(ns, ndw),) * 2,
+                                                  pos_of(ndw,
+                                                         sector.dw_sel(ti)),
+                                                  dw_pos)
+                            if upc.rows.size and dwc.rows.size:
+                                mix.append(MixTerm(bi, ti, upc, dwc, coeff))
 
         # --- superc pairing (Hbath.f90): P[l] c_{l,up} c_{l,dw} + h.c.
         if cfg.ed_mode == "superc" and np.any(P):
@@ -336,34 +401,65 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
         # --- nonsu2 spin flips: Tud[i,j] c†_{i,up} c_{j,dw} + h.c.
         if cfg.ed_mode == "nonsu2" and np.any(Tud):
             nzs = np.argwhere(Tud != 0)
-            # c†_{i,up} c_{j,dw}: block (nup, ndw) -> (nup+1, ndw-1)
-            tgt = blk_index.get((nup + 1, ndw - 1))
-            if tgt is not None:
-                tb = sector.blocks[tgt]
-                ph = -1.0 if nup % 2 else 1.0   # c_dw string crosses nup up bits
-                for i, j in nzs:
-                    ku = fock.cdg_op(ns, nup, int(i))
-                    kd = fock.c_op(ns, ndw, int(j))
-                    if ku[0].size and kd[0].size:
-                        mix.append(MixTerm(
-                            bi, tgt,
-                            SpinCOO(*ku, (tb.dup, blk.dup)),
-                            SpinCOO(*kd, (tb.ddw, blk.ddw)),
-                            Tud[i, j] * ph))
-            # h.c.: c†_{j,dw} c_{i,up}: block -> (nup-1, ndw+1)
-            tgt = blk_index.get((nup - 1, ndw + 1))
-            if tgt is not None:
-                tb = sector.blocks[tgt]
-                ph = -1.0 if (nup - 1) % 2 else 1.0  # c†_dw string: nup-1 up bits
-                for i, j in nzs:
-                    ku = fock.c_op(ns, nup, int(i))
-                    kd = fock.cdg_op(ns, ndw, int(j))
-                    if ku[0].size and kd[0].size:
-                        mix.append(MixTerm(
-                            bi, tgt,
-                            SpinCOO(*ku, (tb.dup, blk.dup)),
-                            SpinCOO(*kd, (tb.ddw, blk.ddw)),
-                            np.conj(Tud[i, j]) * ph))
+            for i, j in nzs:
+                # c†_{i,up} c_{j,dw}: block (nup, ndw) -> (nup+1, ndw-1)
+                ph = -1.0 if nup % 2 else 1.0
+                ku = fock.cdg_op(ns, nup, int(i))
+                kd = fock.c_op(ns, ndw, int(j))
+                if ku[0].size and kd[0].size:
+                    if not jz:
+                        ti = blk_index.get((nup + 1, ndw - 1))
+                        if ti is not None:
+                            tb = sector.blocks[ti]
+                            mix.append(MixTerm(
+                                bi, ti,
+                                SpinCOO(*ku, (tb.dup, blk.dup)),
+                                SpinCOO(*kd, (tb.ddw, blk.ddw)),
+                                Tud[i, j] * ph))
+                    else:
+                        ti = sector.block_index_of(
+                            nup + 1, ndw - 1,
+                            lup + 2 * LZDIAG_T2G[int(i) % 3],
+                            ldw - 2 * LZDIAG_T2G[int(j) % 3])
+                        if ti is not None:
+                            upc = _maybe_restrict(
+                                ku, (comb(ns, nup + 1), comb(ns, nup)),
+                                pos_of(nup + 1, sector.up_sel(ti)), up_pos)
+                            dwc = _maybe_restrict(
+                                kd, (comb(ns, ndw - 1), comb(ns, ndw)),
+                                pos_of(ndw - 1, sector.dw_sel(ti)), dw_pos)
+                            if upc.rows.size and dwc.rows.size:
+                                mix.append(MixTerm(bi, ti, upc, dwc,
+                                                   Tud[i, j] * ph))
+                # h.c.: c†_{j,dw} c_{i,up}: block -> (nup-1, ndw+1)
+                ph2 = -1.0 if (nup - 1) % 2 else 1.0
+                ku2 = fock.c_op(ns, nup, int(i))
+                kd2 = fock.cdg_op(ns, ndw, int(j))
+                if ku2[0].size and kd2[0].size:
+                    if not jz:
+                        ti = blk_index.get((nup - 1, ndw + 1))
+                        if ti is not None:
+                            tb = sector.blocks[ti]
+                            mix.append(MixTerm(
+                                bi, ti,
+                                SpinCOO(*ku2, (tb.dup, blk.dup)),
+                                SpinCOO(*kd2, (tb.ddw, blk.ddw)),
+                                np.conj(Tud[i, j]) * ph2))
+                    else:
+                        ti = sector.block_index_of(
+                            nup - 1, ndw + 1,
+                            lup - 2 * LZDIAG_T2G[int(i) % 3],
+                            ldw + 2 * LZDIAG_T2G[int(j) % 3])
+                        if ti is not None:
+                            upc = _maybe_restrict(
+                                ku2, (comb(ns, nup - 1), comb(ns, nup)),
+                                pos_of(nup - 1, sector.up_sel(ti)), up_pos)
+                            dwc = _maybe_restrict(
+                                kd2, (comb(ns, ndw + 1), comb(ns, ndw)),
+                                pos_of(ndw + 1, sector.dw_sel(ti)), dw_pos)
+                            if upc.rows.size and dwc.rows.size:
+                                mix.append(MixTerm(bi, ti, upc, dwc,
+                                                   np.conj(Tud[i, j]) * ph2))
 
     return SectorHamiltonian(sector, diag, hup, hdw, mix, np.dtype(dt))
 

@@ -83,12 +83,17 @@ def compute_observables(cfg: EDConfig, slist: StateList, zeta: float,
 
     for sec, vec, w in _state_weights(slist, cfg.beta, zeta, finite_t):
         Vb = np_unflatten_blocks(vec, sec)
-        for blk, V in zip(sec.blocks, Vb):
+        for bi, (blk, V) in enumerate(zip(sec.blocks, Vb)):
             P = np.abs(V) ** 2                       # [ddw, dup]
             pu = P.sum(axis=0)                        # up-config marginal
             pd = P.sum(axis=1)
-            ou = fock.occupations(ns, blk.nup)[:, :norb]   # [dup, norb]
-            od = fock.occupations(ns, blk.ndw)[:, :norb]
+            ou = fock.occupations(ns, blk.nup)
+            od = fock.occupations(ns, blk.ndw)
+            if sec.subsel is not None:
+                ou = ou[sec.up_sel(bi)]
+                od = od[sec.dw_sel(bi)]
+            ou = ou[:, :norb]                         # [dup, norb]
+            od = od[:, :norb]
             nu = pu @ ou                              # <n_up,a> within block
             nd = pd @ od
             o.dens_up += w * nu
@@ -201,11 +206,16 @@ def local_energy(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
     for sec, vec, w in _state_weights(slist, cfg.beta, zeta, finite_t):
         Vb = np_unflatten_blocks(vec, sec)
         # --- diagonal pieces
-        for blk, V in zip(sec.blocks, Vb):
+        for bi, (blk, V) in enumerate(zip(sec.blocks, Vb)):
             P = np.abs(V) ** 2
             pu, pd = P.sum(0), P.sum(1)
-            ou = fock.occupations(ns, blk.nup)[:, :norb]
-            od = fock.occupations(ns, blk.ndw)[:, :norb]
+            ou = fock.occupations(ns, blk.nup)
+            od = fock.occupations(ns, blk.ndw)
+            if sec.subsel is not None:
+                ou = ou[sec.up_sel(bi)]
+                od = od[sec.dw_sel(bi)]
+            ou = ou[:, :norb]
+            od = od[:, :norb]
             nu, nd = pu @ ou, pd @ od
             eup = np.real(np.diag(hloc[0, 0]))
             edw = np.real(np.diag(hloc[cfg.nspin - 1, cfg.nspin - 1]))
@@ -234,7 +244,7 @@ def local_energy(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
             hloc_probe[..., a, a] = 0.0  # diagonal handled above
         E.eknot += w * _expect_quadratic_imp(cfg, table, sec, vec, hloc_probe)
         # --- spin-exchange / pair-hopping expectations
-        if norb > 1 and (jx != 0.0 or jp != 0.0):
+        if norb > 1 and (jx != 0.0 or jp != 0.0) and sec.subsel is None:
             dse, dph = _expect_exchange(cfg, sec, Vb, norb)
             E.epot += w * (jx * dse + jp * dph)
             E.dse += w * dse

@@ -47,19 +47,51 @@ class Block:
 @dataclass(frozen=True)
 class Sector:
     index: int                 # 0-based position in the sector table
-    qn: Tuple                  # ("normal", nup, ndw) | ("superc", sz) | ("nonsu2", n)
+    qn: Tuple                  # ("normal", nup, ndw) | ("superc", sz) |
+    #                            ("nonsu2", n) | ("nonsu2jz", n, twoJz)
     blocks: Tuple[Block, ...]  # ordered by ndw ascending
     ns: int
+    # Jz basis: per-block (up_idx, dw_idx, lup, ldw) sub-basis selections
+    # within the colex-ordered spin bases (None = full tensor product)
+    subsel: Optional[Tuple] = field(default=None, compare=False, repr=False)
 
     @property
     def dim(self) -> int:
         return sum(b.dim for b in self.blocks)
 
-    def block_of(self, nup: int, ndw: int) -> Optional[Block]:
-        for b in self.blocks:
-            if b.nup == nup and b.ndw == ndw:
+    def block_of(self, nup: int, ndw: int, lup: Optional[int] = None,
+                 ldw: Optional[int] = None):
+        for i, b in enumerate(self.blocks):
+            if b.nup != nup or b.ndw != ndw:
+                continue
+            if self.subsel is None:
+                return b
+            _, _, bl_up, bl_dw = self.subsel[i]
+            if (lup is None or bl_up == lup) and (ldw is None or bl_dw == ldw):
                 return b
         return None
+
+    def block_index_of(self, nup, ndw, lup=None, ldw=None):
+        for i, b in enumerate(self.blocks):
+            if b.nup != nup or b.ndw != ndw:
+                continue
+            if self.subsel is None:
+                return i
+            _, _, bl_up, bl_dw = self.subsel[i]
+            if (lup is None or bl_up == lup) and (ldw is None or bl_dw == ldw):
+                return i
+        return None
+
+    def up_sel(self, bi: int):
+        return None if self.subsel is None else self.subsel[bi][0]
+
+    def dw_sel(self, bi: int):
+        return None if self.subsel is None else self.subsel[bi][1]
+
+    def block_lz(self, bi: int):
+        if self.subsel is None:
+            return (None, None)
+        return self.subsel[bi][2], self.subsel[bi][3]
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Sector({self.qn}, dim={self.dim}, nblocks={len(self.blocks)})"
@@ -97,8 +129,18 @@ class SectorTable:
         return self._lookup.get((self.ed_mode,) + tuple(qn))
 
     # ---- sector transitions under c / c† (getCsector/getCDGsector) -------
-    def cdg_sector(self, sector: Sector, spin: int) -> Optional[Sector]:
-        """Target sector of c†_{spin} (spin: 0=up, 1=dw)."""
+    def cdg_sector(self, sector: Sector, spin: int,
+                   level: Optional[int] = None) -> Optional[Sector]:
+        """Target sector of c†_{level, spin} (spin: 0=up, 1=dw). `level`
+        is required only in the Jz basis where the shift depends on the
+        orbital character (ED_SETUP.f90:795-799)."""
+        if self.ed_mode == "nonsu2jz":
+            from .fock import LZDIAG_T2G, SZDIAG
+            _, n, twojz = sector.qn
+            if n + 1 > 2 * self.ns or level is None:
+                return None
+            djz = 2 * LZDIAG_T2G[level % 3] + SZDIAG[spin]
+            return self.get(n + 1, twojz + djz)
         if self.ed_mode == "normal":
             _, nup, ndw = sector.qn
             nup, ndw = (nup + 1, ndw) if spin == 0 else (nup, ndw + 1)
@@ -118,8 +160,16 @@ class SectorTable:
             return self.get(n + 1)
         raise ValueError(self.ed_mode)
 
-    def c_sector(self, sector: Sector, spin: int) -> Optional[Sector]:
-        """Target sector of c_{spin}."""
+    def c_sector(self, sector: Sector, spin: int,
+                 level: Optional[int] = None) -> Optional[Sector]:
+        """Target sector of c_{level, spin}."""
+        if self.ed_mode == "nonsu2jz":
+            from .fock import LZDIAG_T2G, SZDIAG
+            _, n, twojz = sector.qn
+            if n - 1 < 0 or level is None:
+                return None
+            djz = 2 * LZDIAG_T2G[level % 3] + SZDIAG[spin]
+            return self.get(n - 1, twojz - djz)
         if self.ed_mode == "normal":
             _, nup, ndw = sector.qn
             nup, ndw = (nup - 1, ndw) if spin == 0 else (nup, ndw - 1)
@@ -199,7 +249,53 @@ def build_sector_table(ed_mode: str, ns: int) -> SectorTable:
     return SectorTable(ed_mode, ns, tuple(sectors))
 
 
+@lru_cache(maxsize=None)
+def build_sector_table_jz(ns: int, norb: int) -> SectorTable:
+    """nonsu2 with conserved twoJz = twoLz + twoSz (Jz_basis; build_sector
+    Jz branch ED_SETUP.f90:940-966 and setup_pointers_nonsu2 :636-660).
+
+    Each (N, twoJz) sector is a union of sub-blocks
+    (n_up, n_dw, l_up, l_dw) with l_up + l_dw + n_up - n_dw = twoJz; every
+    sub-block is still a tensor product of per-spin Lz-class bases, so the
+    block-Kronecker machinery applies unchanged.
+    """
+    from . import fock
+    per_n = {}
+    for n in range(0, 2 * ns + 1):
+        entries = {}
+        for nup in range(max(0, n - ns), min(ns, n) + 1):
+            ndw = n - nup
+            cls_up = fock.lz_classes(ns, nup, norb)
+            cls_dw = fock.lz_classes(ns, ndw, norb)
+            for lup, iu in cls_up.items():
+                for ldw, idw in cls_dw.items():
+                    twojz = lup + ldw + nup - ndw
+                    entries.setdefault(twojz, []).append(
+                        (nup, ndw, lup, ldw, iu, idw))
+        per_n[n] = entries
+    sectors = []
+    idx = 0
+    for n in range(0, 2 * ns + 1):
+        for twojz in sorted(per_n[n]):
+            blocks = []
+            subsel = []
+            off = 0
+            for (nup, ndw, lup, ldw, iu, idw) in sorted(
+                    per_n[n][twojz], key=lambda e: (e[1], e[3], e[2])):
+                blocks.append(Block(nup, ndw, len(iu), len(idw), off))
+                subsel.append((iu, idw, lup, ldw))
+                off += len(iu) * len(idw)
+            sectors.append(Sector(idx, ("nonsu2jz", n, twojz),
+                                  tuple(blocks), ns, tuple(subsel)))
+            idx += 1
+    return SectorTable("nonsu2jz", ns, tuple(sectors))
+
+
 def sector_table(cfg: EDConfig) -> SectorTable:
+    if cfg.ed_mode == "nonsu2" and cfg.jz_basis:
+        assert cfg.bath_type == "replica", \
+            "Jz basis requires the replica bath layout (orbital-periodic levels)"
+        return build_sector_table_jz(cfg.ns, cfg.norb)
     return build_sector_table(cfg.ed_mode, cfg.ns)
 
 
