@@ -12,8 +12,8 @@ Families:
   hm_square_lattice   square-flake geometry wrapper over nano
 """
 
-from . import (hm_bethe, hm_bethe_nbands, ahm_bethe, bhz_2d, soc, kspace,
-               nano, hm_square_lattice)
+from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
+               soc, kspace, nano, hm_square_lattice)
 
-__all__ = ["hm_bethe", "hm_bethe_nbands", "ahm_bethe", "bhz_2d", "soc",
-           "kspace", "nano", "hm_square_lattice"]
+__all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
+           "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice"]

@@ -30,10 +30,25 @@ from .mesh import row_sharding
 
 def make_sharded_matvec(ham: SectorHamiltonian, cfg: EDConfig, mesh: Mesh,
                         batched: bool = False):
-    """Returns (matvec, sharding) acting on V [.., ddw, dup] with rows
-    sharded. The operator constants are replicated (they are exponentially
-    smaller than the sector); vmap over a leading site/batch axis when
-    `batched`."""
+    """Returns (matvec, sharding, dtype[, pad]) acting on V [.., ddw, dup]
+    with rows sharded. The operator constants are replicated (they are
+    exponentially smaller than the sector); vmap over a leading site/batch
+    axis when `batched`.
+
+    When the row dimension is not divisible by the mesh 'rows' axis
+    (general sector dims), the operator is zero-padded to the next multiple:
+    padded rows stay exactly zero through the Krylov recurrence (zero
+    diagonal, zero H rows), so norms/dots are unchanged. Callers pad the
+    initial vector with `pad_rows` zero rows.
+    """
+    n_rows = mesh.shape["rows"]
+    sec = ham.sector
+    pad = 0
+    if len(sec.blocks) == 1 and sec.blocks[0].ddw % n_rows != 0:
+        blk = sec.blocks[0]
+        ddw_pad = -(-blk.ddw // n_rows) * n_rows
+        pad = ddw_pad - blk.ddw
+        ham = _pad_single_block_rows(ham, ddw_pad)
     base_mv, template = make_matvec(ham, cfg)
     shd = row_sharding(mesh, batched)
 
@@ -48,7 +63,24 @@ def make_sharded_matvec(ham: SectorHamiltonian, cfg: EDConfig, mesh: Mesh,
         out = mv(v)
         return jax.lax.with_sharding_constraint(out, shd)
 
-    return matvec, shd, template[0].dtype
+    return matvec, shd, template[0].dtype, pad
+
+
+def _pad_single_block_rows(ham: SectorHamiltonian, ddw_pad: int):
+    """Zero-pad the down (row) dimension of a single-block operator."""
+    import numpy as np
+    from dataclasses import replace as _dc_replace
+    from ..sectors import Block, Sector
+    from ..hamiltonian import SpinCOO
+    blk = ham.sector.blocks[0]
+    new_blk = Block(blk.nup, blk.ndw, blk.dup, ddw_pad, 0)
+    new_sec = Sector(ham.sector.index, ham.sector.qn, (new_blk,),
+                     ham.sector.ns)
+    diag = [np.pad(ham.diag[0], ((0, ddw_pad - blk.ddw), (0, 0)))]
+    hd = ham.hdw[0]
+    hdw = [SpinCOO(hd.rows, hd.cols, hd.vals, (ddw_pad, ddw_pad))]
+    return SectorHamiltonian(new_sec, diag, ham.hup, hdw, ham.mix,
+                             ham.dtype)
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -62,3 +62,17 @@ def test_square_flake_realspace(rundir):
     np.testing.assert_allclose(d.mean(), 1.0, atol=0.05)
     # docc well inside the correlated-metal range on every site
     assert np.all((r.docc > 0.02) & (r.docc < 0.25))
+
+
+@pytest.mark.slow
+def test_afm_bethe_neel_state(rundir):
+    from dmft_ed_tpu.models import hm_bethe_afm
+    cfg = EDConfig(norb=1, nbath=4, nspin=2, uloc=(4.0,), beta=100.0,
+                   sb_field=0.1, lmats=250, lreal=40, lfit=250, nloop=30,
+                   dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=4096).validate()
+    r = hm_bethe_afm.run(cfg, wband=1.0, wmixing=0.6, log=lambda m: None)
+    assert r.error < 1e-3
+    np.testing.assert_allclose(r.dens, [1.0], atol=1e-3)
+    # deep AFM at U=4D: large staggered magnetization
+    assert abs(r.magz[0]) > 0.8

@@ -36,7 +36,7 @@ def test_sharded_matvec_matches_single_device():
     cfg, sec, ham = _problem()
     blk = sec.blocks[0]
     mesh = make_mesh(n_rows=8, n_sites=1)
-    mv_sh, shd, dt = make_sharded_matvec(ham, cfg, mesh)
+    mv_sh, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh)
     mv_1, _ = make_matvec(ham, cfg)
     rng = np.random.default_rng(72)
     v = jnp.asarray(rng.normal(size=(blk.ddw, blk.dup)), dtype=dt)
@@ -53,7 +53,7 @@ def test_sharded_lanczos_tridiag_matches():
     cfg, sec, ham = _problem()
     blk = sec.blocks[0]
     mesh = make_mesh(n_rows=8, n_sites=1)
-    mv_sh, shd, dt = make_sharded_matvec(ham, cfg, mesh)
+    mv_sh, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh)
     mv_1, _ = make_matvec(ham, cfg)
 
     def mv_flat(x):
@@ -82,7 +82,7 @@ def test_site_batched_mesh():
     cfg, sec, ham = _problem()
     blk = sec.blocks[0]
     mesh = make_mesh(n_rows=4, n_sites=2)
-    mv_sh, shd, dt = make_sharded_matvec(ham, cfg, mesh, batched=True)
+    mv_sh, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh, batched=True)
     mv_1, _ = make_matvec(ham, cfg)
     rng = np.random.default_rng(74)
     v = jnp.asarray(rng.normal(size=(2, blk.ddw, blk.dup)), dtype=dt)
@@ -90,3 +90,28 @@ def test_site_batched_mesh():
     v_sh = jax.device_put(v, shd)
     y_sh = np.asarray(jax.jit(mv_sh)(v_sh))
     np.testing.assert_allclose(y_sh, y_ref, atol=1e-12)
+
+
+def test_sharded_matvec_padded_rows():
+    """Sector row dims not divisible by the mesh are zero-padded."""
+    cfg = EDConfig(norb=1, nbath=7, nspin=1, uloc=(2.0,),
+                   dense_matmul_threshold=8192).validate()
+    rng = np.random.default_rng(75)
+    bath = Bath(cfg)
+    bath.e[:] = np.linspace(-1, 1, cfg.nbath)[None, None, :]
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 1, 1))
+    sec = sector_table(cfg).get(4, 4)   # dim 70x70, 70 % 8 != 0
+    ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+    blk = sec.blocks[0]
+    mesh = make_mesh(n_rows=8, n_sites=1)
+    mv_sh, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh)
+    assert pad == 2
+    mv_1, _ = make_matvec(ham, cfg)
+    v = jnp.asarray(rng.normal(size=(blk.ddw, blk.dup)), dtype=dt)
+    y1 = np.asarray(mv_1((v,))[0])
+    vp = jnp.pad(v, ((0, pad), (0, 0)))
+    vp = jax.device_put(vp, shd)
+    y8 = np.asarray(jax.jit(mv_sh)(vp))
+    np.testing.assert_allclose(y8[:blk.ddw], y1, atol=1e-12)
+    np.testing.assert_allclose(y8[blk.ddw:], 0.0, atol=1e-15)
