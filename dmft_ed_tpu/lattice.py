@@ -415,26 +415,49 @@ def gij_realspace(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
 def transmission(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
                  gamma_l: np.ndarray, gamma_r: np.ndarray) -> np.ndarray:
     """Landauer transmission T(w) = Tr[Γ_L G^r Γ_R G^a] on the real axis
-    (ed_nano_transport). gamma_l/r: [Nlso, Nlso] lead coupling matrices
-    (wide-band); the lead self-energy -(i/2)(Γ_L+Γ_R) is added to G."""
+    (ed_nano_transport). gamma_l/r: [Nlso, Nlso] (wide-band) or
+    [Nlso, Nlso, Lreal] (frequency-dependent lead hybridization, the
+    reference's set_hyb/dmft_set_Gamma_realaxis path); the lead self-energy
+    -(i/2)(Γ_L+Γ_R) is added to G."""
     z = grids.z_real(cfg)
     ns_, no = cfg.nspin, cfg.norb
     nso = ns_ * no
     nlat = sigma_lat.shape[0]
     nlso = nlat * nso
-    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso,
-                                                           len(z))
-    lead = -0.5j * (gamma_l + gamma_r)
-    T = np.zeros(len(z))
+    L = len(z)
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+
+    def gamma_at(g, i):
+        return g[..., i] if g.ndim == 3 else g
+
+    T = np.zeros(L)
     for i, zz in enumerate(z):
+        gl = gamma_at(np.asarray(gamma_l), i)
+        gr = gamma_at(np.asarray(gamma_r), i)
+        lead = -0.5j * (gl + gr)
         S = np.zeros((nlso, nlso), dtype=complex)
         for k in range(nlat):
             S[k * nso:(k + 1) * nso, k * nso:(k + 1) * nso] = \
                 sig_so[k, :, :, i]
-        Gr = np.linalg.inv((zz + cfg.xmu) * np.eye(nlso) - hij - S - lead)
-        Ga = Gr.conj().T
-        T[i] = np.real(np.trace(gamma_l @ Gr @ gamma_r @ Ga))
+        Gr_ = np.linalg.inv((zz + cfg.xmu) * np.eye(nlso) - hij - S - lead)
+        Ga_ = Gr_.conj().T
+        T[i] = np.real(np.trace(gl @ Gr_ @ gr @ Ga_))
     return T
+
+
+def wideband_leads(nlso: int, sites_l, sites_r, gamma: float,
+                   nso: int = 1) -> tuple:
+    """Γ_L, Γ_R wide-band coupling matrices for given lead-attached sites
+    (the common ed_nano_transport setup)."""
+    gl = np.zeros((nlso, nlso))
+    gr = np.zeros((nlso, nlso))
+    for s in np.atleast_1d(sites_l):
+        for k in range(nso):
+            gl[s * nso + k, s * nso + k] = gamma
+    for s in np.atleast_1d(sites_r):
+        for k in range(nso):
+            gr[s * nso + k, s * nso + k] = gamma
+    return gl, gr
 
 
 # ----------------------------------------------------------------------

@@ -52,3 +52,27 @@ def test_twin_finite_t():
         else:
             dens_f = obs.dens.copy()
     np.testing.assert_allclose(dens_t, dens_f, atol=1e-6)
+
+
+def test_twin_superc():
+    """superc twin (sz -> -sz transpose reconstruction) reproduces the
+    full-scan spectrum and observables."""
+    from dmft_ed_tpu.observables import compute_observables
+    res = {}
+    for tw in (False, True):
+        cfg = EDConfig(norb=1, nbath=2, nspin=1, uloc=(-1.2,),
+                       ed_mode="superc", deltasc=0.25, beta=40.0, xmu=0.1,
+                       ed_twin=tw, lanc_dim_threshold=10 ** 6).validate()
+        rng = np.random.default_rng(83)
+        bath = Bath(cfg)
+        bath.e[:] = np.array([-0.6, 0.7])[None, None, :]
+        bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+        bath.d[:] = 0.3
+        hloc = np.zeros((1, 1, 1, 1))
+        slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+        obs = compute_observables(cfg, slist, zeta, bath, hloc, False)
+        res[tw] = (slist.emin, zeta, obs.dens.copy(), obs.phisc.copy())
+    assert abs(res[0][0] - res[1][0]) < 1e-10
+    assert abs(res[0][1] - res[1][1]) < 1e-10
+    np.testing.assert_allclose(res[1][2], res[0][2], atol=1e-8)
+    np.testing.assert_allclose(res[1][3], res[0][3], atol=1e-8)
