@@ -150,3 +150,22 @@ def hk_kane_mele(nk: int = 24, t: float = 1.0, soc: float = 0.1
     hk[:2, :2] = up
     hk[2:, 2:] = dw
     return hk
+
+
+def hk_wsm_3d(nk: int = 12, t: float = 1.0, mh: float = 2.0,
+              lam: float = 1.0) -> np.ndarray:
+    """3D Weyl semimetal, 2 bands (ed_wsm_3d.f90 class):
+    H(k) = λ(sin kx σx + sin ky σy) + [mh - t(cos kx+cos ky+cos kz)] σz.
+    Hosts Weyl nodes for |mh| < 3t. Returns [2, 2, Nk^3]."""
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    sy = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    hks = []
+    for kx in ks:
+        for ky in ks:
+            for kz in ks:
+                m = mh - t * (np.cos(kx) + np.cos(ky) + np.cos(kz))
+                hks.append(lam * (np.sin(kx) * sx + np.sin(ky) * sy)
+                           + m * sz)
+    return np.stack(hks, axis=-1)

@@ -167,6 +167,10 @@ class EDSolver:
         edio.write_observables(cfg, res.observables, res.egs, simp, zimp,
                                self.suffix)
         edio.write_energy(cfg, res.energy, self.suffix)
+        rho = res.observables.imp_density_matrix
+        if rho is not None:
+            np.savetxt(f"imp_density_matrix{self.suffix}.ed",
+                       np.column_stack([rho.real, rho.imag]), fmt="%18.12f")
         if self.log:
             o = res.observables
             self.log("dens=" + " ".join(f"{x:.9f}" for x in o.dens)

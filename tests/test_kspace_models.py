@@ -59,3 +59,14 @@ def test_graphene_dmft_smoke(tmp_path, monkeypatch):
     assert np.all(np.isfinite(r.dens))
     # half filling by sublattice symmetry
     np.testing.assert_allclose(r.dens.sum(), 2.0, atol=0.15)  # coarse 8x8 k-grid
+
+
+def test_hk_wsm_weyl_nodes():
+    hk = kspace.hk_wsm_3d(nk=24, t=1.0, mh=2.0, lam=1.0)
+    evs = np.linalg.eigvalsh(hk.transpose(2, 0, 1))
+    # gapless Weyl nodes exist for |mh| < 3t
+    assert np.min(evs[:, 1] - evs[:, 0]) < 0.15
+    # trivial insulator when mh > 3t
+    hk_t = kspace.hk_wsm_3d(nk=12, t=1.0, mh=4.0, lam=1.0)
+    evs_t = np.linalg.eigvalsh(hk_t.transpose(2, 0, 1))
+    assert np.min(evs_t[:, 1] - evs_t[:, 0]) > 1.0
