@@ -258,3 +258,84 @@ def write_state_list(cfg: EDConfig, slist: StateList, zeta: float,
     with open(f"sectors_list{suffix}.restart", "w") as fh:
         for s in slist:
             fh.write(" ".join(str(q) for q in s.sector.qn[1:]) + "\n")
+
+
+# ----------------------------------------------------------------------
+# site-batched sweep (real-space DMFT): one batched eigh per sector
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _batched_eigh(H):
+    return jnp.linalg.eigh(H)
+
+
+def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None):
+    """Batched sector sweep over N inequivalent impurity sites.
+
+    All sites share the sector structure (same cfg); per-sector the dense
+    Hamiltonians of every site are stacked and diagonalized with ONE batched
+    device eigh — the 'sites' data-parallel axis of the design
+    (parallel/mesh.py), replacing the reference's round-robin MPI site loop
+    (ED_MAIN.f90:576-678). Falls back to the per-site path for sectors
+    above lanc_dim_threshold.
+
+    Returns (list of StateList, list of zeta, list of DiagState).
+    """
+    nsites = len(baths)
+    table = sector_table(cfg)
+    if states is None:
+        states = [None] * nsites
+    states = [s or DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
+              for s in states]
+    for st in states:
+        if not st.neigen_sector:
+            for sec in table.sectors:
+                st.neigen_sector[sec.index] = min(sec.dim,
+                                                  cfg.lanc_nstates_sector)
+    finite_t = any(st.lanc_nstates_total > 1 for st in states)
+    slists = [StateList() for _ in range(nsites)]
+    oldzero = [1000.0] * nsites
+    rng = np.random.default_rng(cfg.seed + 7)
+    for sec in table.sectors:
+        if sec.dim == 0:
+            continue
+        neigen = [min(sec.dim, st.neigen_sector[sec.index]) for st in states]
+        dense_ok = sec.dim <= cfg.lanc_dim_threshold or \
+            max(neigen) >= sec.dim
+        if dense_ok:
+            Hs = np.stack([
+                assemble_dense(build_sector_hamiltonian(
+                    cfg, sec, baths[i], hlocs[i])) for i in range(nsites)])
+            evals_b, evecs_b = _batched_eigh(jnp.asarray(Hs))
+            evals_b = np.asarray(evals_b)
+            for i in range(nsites):
+                ne = neigen[i]
+                evals, evecs = evals_b[i][:ne], evecs_b[i][:, :ne].T
+                _collect(cfg, table, slists[i], sec, evals, evecs,
+                         finite_t, states[i], oldzero, i)
+        else:
+            for i in range(nsites):
+                ham = build_sector_hamiltonian(cfg, sec, baths[i], hlocs[i])
+                evals, evecs = _solve_sector_lanczos(cfg, ham, neigen[i],
+                                                     rng)
+                _collect(cfg, table, slists[i], sec, evals, evecs,
+                         finite_t, states[i], oldzero, i)
+    zetas = [sl.partition_function(cfg.beta, finite_t) for sl in slists]
+    return slists, zetas, states
+
+
+def _collect(cfg, table, slist, sec, evals, evecs, finite_t, state,
+             oldzero, i):
+    if finite_t:
+        for e, v in zip(evals, evecs):
+            slist.add(e, jnp.asarray(v), sec, table,
+                      size=state.lanc_nstates_total)
+    else:
+        for e, v in zip(evals, evecs):
+            if e < oldzero[i] - 10 * cfg.gs_threshold:
+                oldzero[i] = e
+                slist.clear()
+                slist.add(e, jnp.asarray(v), sec, table)
+            elif abs(e - oldzero[i]) <= cfg.gs_threshold:
+                oldzero[i] = min(oldzero[i], e)
+                slist.add(e, jnp.asarray(v), sec, table)
