@@ -54,12 +54,14 @@ def build_problem(nbath: int, dtype: str, matmul_precision: str = "native"):
 
 
 def lanczos_loop(matvec, v0, niter):
+    from dmft_ed_tpu.lanczos import precise_dot
+
     def step(carry, _):
         v_prev, v, b_prev = carry
         w = matvec((v,))[0]
-        a = jnp.real(jnp.vdot(v, w))
+        a = precise_dot(v, w)
         w = w - a * v - b_prev * v_prev
-        b = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        b = jnp.sqrt(precise_dot(w, w))
         return (v, w / jnp.where(b > 0, b, 1.0), b), (a, b)
 
     init = (jnp.zeros_like(v0), v0, jnp.asarray(0.0, v0.real.dtype))
