@@ -13,7 +13,7 @@ from ..config import EDConfig, read_input
 from ..solver import EDSolver
 from ..bath import ph_symmetrize_bath, enforce_normal_bath
 from ..lattice import (bethe_bands, gloc_superc_dos, self_consistency_superc,
-                       kinetic_energy, ConvergenceMonitor)
+                       kinetic_energy_superc, ConvergenceMonitor)
 from ..aux import search_variable
 
 
@@ -30,6 +30,7 @@ class AhmResult:
     docc: np.ndarray
     phisc: np.ndarray
     egs: float
+    ekin: float
     error: float
 
 
@@ -80,11 +81,12 @@ def run(cfg: EDConfig | None = None, le: int = 500, wbethe=1.0,
             converged = converged and conv2
             cfg = cfg.replace(xmu=xmu)
             solver.cfg = cfg
+    ekin = kinetic_energy_superc(cfg, eb, db, h0, res.smats, res.smats_an)
     return AhmResult(converged=converged, iterations=iloop, bath=bath,
                      smats=res.smats, smats_an=res.smats_an, gmats=gm,
                      fmats=fm, dens=res.observables.dens,
                      docc=res.observables.docc, phisc=res.observables.phisc,
-                     egs=res.egs, error=monitor.error)
+                     egs=res.egs, ekin=ekin, error=monitor.error)
 
 
 def main(argv=None):
