@@ -505,3 +505,42 @@ class ConvergenceMonitor:
         except OSError:
             pass
         return conv or self.count >= self.nloop
+
+
+def gloc_hk_lattice(cfg: EDConfig, hk: np.ndarray, sigma_lat: np.ndarray,
+                    axis: str = "mats", chunk: int = 64) -> np.ndarray:
+    """Layer/site-resolved local GF with k dispersion (the ed_hm_slab
+    geometry): hk [Nlat*Nso, Nlat*Nso, Nk], sigma_lat per-site
+    [Nlat, Nspin, Nspin, Norb, Norb, L] block-diagonal in sites.
+    Returns site-diagonal blocks [Nlat, Nspin, Nspin, Norb, Norb, L]."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    nk = hk.shape[-1]
+    L = len(z)
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    out = np.zeros((nlat, ns_, ns_, no, no, L), dtype=complex)
+    hkT = jnp.asarray(hk).transpose(2, 0, 1)
+
+    @jax.jit
+    def invert(zc, sc):
+        Lc = zc.shape[0]
+        S = jnp.zeros((Lc, nlso, nlso), dtype=jnp.complex128)
+        for i in range(nlat):
+            S = S.at[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso].set(
+                sc[:, i])
+        zeta = (zc + cfg.xmu)[:, None, None] * jnp.eye(nlso)[None] - S
+        M = zeta[:, None, :, :] - hkT[None, :, :, :]
+        return jnp.mean(jnp.linalg.inv(M), axis=1)
+
+    for i0 in range(0, L, chunk):
+        zc = jnp.asarray(z[i0:i0 + chunk])
+        sc = jnp.asarray(sig_so[..., i0:i0 + chunk].transpose(3, 0, 1, 2))
+        G = np.asarray(invert(zc, sc))
+        for i in range(nlat):
+            blk = G[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso]
+            out[i, ..., i0:i0 + chunk] = blk.reshape(
+                -1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+    return out

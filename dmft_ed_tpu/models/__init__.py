@@ -13,7 +13,8 @@ Families:
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
-               soc, kspace, nano, hm_square_lattice)
+               soc, kspace, nano, hm_square_lattice, hm_slab)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
-           "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice"]
+           "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
+           "hm_slab"]

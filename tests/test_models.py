@@ -76,3 +76,19 @@ def test_afm_bethe_neel_state(rundir):
     np.testing.assert_allclose(r.dens, [1.0], atol=1e-3)
     # deep AFM at U=4D: large staggered magnetization
     assert abs(r.magz[0]) > 0.8
+
+
+@pytest.mark.slow
+def test_slab_layer_resolved(rundir):
+    from dmft_ed_tpu.models import hm_slab
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), beta=80.0,
+                   lmats=150, lreal=30, lfit=150, nloop=12, dmft_error=1e-3,
+                   ed_verbose=0, lanc_dim_threshold=1024).validate()
+    r = hm_slab.run(cfg, nlayers=4, nk=10, t=0.25, t_perp=0.25,
+                    wmixing=0.5, log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=1e-3)
+    # mirror symmetry + surface layers more correlated than bulk
+    assert abs(r.docc[0] - r.docc[3]) < 1e-8
+    assert abs(r.docc[1] - r.docc[2]) < 1e-8
+    assert r.docc[0] < r.docc[1]
