@@ -544,3 +544,57 @@ def gloc_hk_lattice(cfg: EDConfig, hk: np.ndarray, sigma_lat: np.ndarray,
             out[i, ..., i0:i0 + chunk] = blk.reshape(
                 -1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
     return out
+
+
+def gloc_realspace_superc(cfg: EDConfig, hij: np.ndarray,
+                          sigma_lat: np.ndarray, sigma_an_lat: np.ndarray,
+                          axis: str = "mats", chunk: int = 32):
+    """Site-resolved Nambu local GF of a finite real-space system
+    (the ed_ahm_disorder / ed_ahm_stripe geometry):
+
+        M = [[(z+mu) - H - Σ,  -Σᴬ       ],
+             [-Σᴬ,            (z-mu) + H + Σ̄]]
+
+    with Σ, Σᴬ site-block-diagonal; returns (G, F) site-diagonal blocks
+    [Nlat, Nspin, Nspin, Norb, Norb, L]."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    L = len(z)
+    sig = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    sa = sigma_an_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    G = np.zeros((nlat, ns_, ns_, no, no, L), dtype=complex)
+    F = np.zeros_like(G)
+    hijm = np.asarray(hij)
+    for i0 in range(0, L, chunk):
+        for i in range(i0, min(i0 + chunk, L)):
+            zz = z[i]
+            S = np.zeros((nlso, nlso), dtype=complex)
+            SA = np.zeros((nlso, nlso), dtype=complex)
+            for k in range(nlat):
+                sl = slice(k * nso, (k + 1) * nso)
+                S[sl, sl] = sig[k, :, :, i]
+                SA[sl, sl] = sa[k, :, :, i]
+            if axis == "mats":
+                Sb = np.conj(S)
+            else:
+                Sbfull = np.zeros_like(S)
+                for k in range(nlat):
+                    sl = slice(k * nso, (k + 1) * nso)
+                    Sbfull[sl, sl] = -np.conj(
+                        sig[k, :, :, L - 1 - i])
+                Sb = Sbfull
+            M = np.block([
+                [(zz + cfg.xmu) * np.eye(nlso) - hijm - S, -SA],
+                [-SA, (zz - cfg.xmu) * np.eye(nlso) + hijm + Sb]])
+            Gi = np.linalg.inv(M)
+            for k in range(nlat):
+                sl = slice(k * nso, (k + 1) * nso)
+                G[k, ..., i] = Gi[sl, sl].reshape(ns_, no, ns_, no
+                                                  ).transpose(0, 2, 1, 3)
+                F[k, ..., i] = Gi[sl, :][:, nlso + k * nso:
+                                         nlso + (k + 1) * nso].reshape(
+                    ns_, no, ns_, no).transpose(0, 2, 1, 3)
+    return G, F

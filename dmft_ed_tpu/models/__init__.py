@@ -13,8 +13,8 @@ Families:
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
-               soc, kspace, nano, hm_square_lattice, hm_slab)
+               soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab"]
+           "hm_slab", "ahm_disorder"]

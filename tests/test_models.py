@@ -92,3 +92,23 @@ def test_slab_layer_resolved(rundir):
     assert abs(r.docc[0] - r.docc[3]) < 1e-8
     assert abs(r.docc[1] - r.docc[2]) < 1e-8
     assert r.docc[0] < r.docc[1]
+
+
+@pytest.mark.slow
+def test_ahm_disorder_pair_localization(rundir):
+    from dmft_ed_tpu.models import ahm_disorder
+    from dmft_ed_tpu.models.nano import square_flake_hij
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(-2.0,), ed_mode="superc",
+                   deltasc=0.1, beta=60.0, lmats=120, lreal=30, lfit=120,
+                   nloop=8, dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=2048).validate()
+    hij, _ = square_flake_hij(2, 2, t=0.25)
+    rng = np.random.default_rng(7)
+    eps = rng.uniform(-0.3, 0.3, 4)
+    r = ahm_disorder.run(cfg, hij, eps, wmixing=0.5, log=lambda m: None)
+    assert r.error < 1e-2
+    # particle-hole symmetric on average: total filling = Nlat
+    np.testing.assert_allclose(r.dens.sum(), 4.0, atol=0.1)
+    # attractive-U disorder: strong site polarization (negative-U centers)
+    assert r.dens.max() > 1.5 and r.dens.min() < 0.5
+    assert np.all(np.isfinite(r.phisc))
