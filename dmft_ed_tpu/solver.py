@@ -80,6 +80,8 @@ class EDSolver:
         self.diag_state = DiagState(
             lanc_nstates_total=cfg.lanc_nstates_total)
         self.result: Optional[SolveResult] = None
+        from .timer import Timers
+        self.timers = Timers(self.log if cfg.ed_verbose >= 4 else None)
 
     # ------------------------------------------------------------------
     @property
@@ -99,13 +101,15 @@ class EDSolver:
         bath = unpack_bath(cfg, bath_flat, self.mask)
         res = SolveResult()
         # --- spectrum
-        slist, zeta, self.diag_state = diagonalize(
-            cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
+        with self.timers("diagonalize"):
+            slist, zeta, self.diag_state = diagonalize(
+                cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
         finite_t = cfg.finite_t or self.diag_state.lanc_nstates_total > 1
         finite_t = finite_t and len(slist) > 1
         res.egs, res.zeta, res.nstates = slist.emin, zeta, len(slist)
         write_state_list(cfg, slist, zeta, self.suffix)
         # --- Green's functions + self-energy
+        timers = self.timers
         if cfg.ed_mode == "normal":
             from .gf_normal import build_gf_normal, build_sigma_normal
             res.gmats, res.greal = build_gf_normal(
@@ -142,9 +146,11 @@ class EDSolver:
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
                 edio.write_chi(cfg, "pairChi", *res.chi_pair, self.suffix)
         # --- observables + local energy
-        res.observables = compute_observables(cfg, slist, zeta, bath,
-                                              self.hloc, finite_t)
-        res.energy = local_energy(cfg, slist, zeta, bath, self.hloc, finite_t)
+        with self.timers("observables"):
+            res.observables = compute_observables(cfg, slist, zeta, bath,
+                                                  self.hloc, finite_t)
+            res.energy = local_energy(cfg, slist, zeta, bath, self.hloc,
+                                      finite_t)
         simp, zimp = quasiparticle_weight(cfg, res.smats)
         # --- file outputs (master-only in the reference; single-process here)
         if cfg.ed_print_sigma:
@@ -171,6 +177,8 @@ class EDSolver:
         if rho is not None:
             np.savetxt(f"imp_density_matrix{self.suffix}.ed",
                        np.column_stack([rho.real, rho.imag]), fmt="%18.12f")
+        if cfg.ed_verbose >= 2 and self.log:
+            self.log(self.timers.report())
         if self.log:
             o = res.observables
             self.log("dens=" + " ".join(f"{x:.9f}" for x in o.dens)

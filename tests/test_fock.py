@@ -71,3 +71,24 @@ def test_occupations():
     occ = fock.occupations(ns, n)
     assert occ.shape == (st.size, ns)
     assert np.all(occ.sum(1) == n)
+
+
+def test_randomized_large_ns_roundtrip():
+    """Property-style check at large Ns: rank/enumeration/operator adjoints
+    on random samples up to Ns=24 (native kernel range)."""
+    rng = np.random.default_rng(99)
+    for ns, n in [(18, 9), (21, 7), (24, 5)]:
+        st = fock.spin_states(ns, n)
+        assert st.size == comb(ns, n)
+        # random sample ranks round-trip
+        idx = rng.integers(0, st.size, size=200)
+        assert np.array_equal(fock.rank_states(st[idx], ns), idx)
+        # adjointness of ladder ops on a random level
+        i = int(rng.integers(0, ns))
+        r1, c1, v1 = fock.cdg_op(ns, n, i)
+        r2, c2, v2 = fock.c_op(ns, n + 1, i)
+        o1 = np.lexsort((r1, c1))
+        o2 = np.lexsort((c2, r2))
+        assert np.array_equal(r1[o1], c2[o2])
+        assert np.array_equal(c1[o1], r2[o2])
+        assert np.array_equal(v1[o1], v2[o2])

@@ -68,3 +68,20 @@ def test_nonsu2_interacting_vs_lehmann():
     for s in range(2):
         np.testing.assert_allclose(Gm[s, s, 0, 0], Gex[s, s, 0, 0],
                                    atol=1e-7, err_msg=str(s))
+
+
+def test_nonsu2_finite_t_vs_lehmann():
+    cfg = _cfg(uloc=(1.0,), beta=5.0)
+    cfg = cfg.replace(lanc_nstates_total=400, cutoff=1e-12, lmats=12,
+                      lanc_nstates_sector=150)
+    bath = _bath(cfg, seed=43)
+    hloc = np.zeros((2, 2, 1, 1), dtype=complex)
+    hloc[0, 1, 0, 0] = 0.15
+    hloc[1, 0, 0, 0] = 0.15
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    Gm, Gr = build_gf_nonsu2(cfg, slist, zeta, bath, hloc, True)
+    zm = grids.z_mats(cfg)
+    Gex = lehmann_gf(cfg, bath, hloc, zm, cfg.beta, True)
+    for s in range(2):
+        np.testing.assert_allclose(Gm[s, s, 0, 0], Gex[s, s, 0, 0],
+                                   atol=2e-6, err_msg=str(s))

@@ -65,3 +65,16 @@ def test_superc_interacting_g_vs_lehmann():
     assert np.max(np.abs(Fm[0, 0, 0, 0].imag)) < 1e-7
     # attractive U enhances the anomalous amplitude vs U=0
     assert np.max(np.abs(Fm)) > 0.01
+
+
+def test_superc_finite_t_vs_lehmann():
+    cfg = _cfg(uloc=(-1.2,), beta=6.0)
+    cfg = cfg.replace(lanc_nstates_total=300, cutoff=1e-12, lmats=16,
+                      lanc_nstates_sector=100)
+    bath = _bath(cfg, seed=33)
+    hloc = np.zeros((1, 1, 1, 1))
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    Gm, Gr, Fm, Fr = build_gf_superc(cfg, slist, zeta, bath, hloc, True)
+    zm = grids.z_mats(cfg)
+    Gex = lehmann_gf(cfg, bath, hloc, zm, cfg.beta, True)
+    np.testing.assert_allclose(Gm[0, 0, 0, 0], Gex[0, 0, 0, 0], atol=2e-6)
