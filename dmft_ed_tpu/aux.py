@@ -99,16 +99,10 @@ def atomic_soc_jz(nspin: int = 2, norb: int = 3) -> np.ndarray:
 
     NOTE basis ordering: the rotation acts in the orbital-major space but
     our so-layout is spin-major — handled via the nn<->so reshapes."""
-    U = orbital_lz_rotation(nspin, norb)
     ls_so = nn2so(atomic_soc(nspin, norb), nspin, norb)
-    # convert spin-major <-> orbital-major: build permutation
-    perm = np.array([o * nspin + s for s in range(nspin)
-                     for o in range(norb)])
-    # ls_os[i,j] with i = orb-major index
-    ls_os = ls_so  # our nn2so gives spin-major (io = s*Norb + a)
-    # The reference U blocks are orbital-space per spin: in spin-major so
-    # layout, U_so = kron(I_spin, u) with io = s*Norb + a -> block diag in a.
-    u = U[:3, :3]
+    # reference U blocks act in orbital space per spin; in our spin-major
+    # so-layout (io = s*Norb + a) that is kron(I_spin, u)
+    u = orbital_lz_rotation(nspin, norb)[:3, :3]
     U_so = np.kron(np.eye(nspin), u)
     out_so = U_so.conj().T @ ls_so @ U_so
     return so2nn(out_so, nspin, norb)
