@@ -93,3 +93,57 @@ def state_iter(slist: StateList):
     """(sector, energy, flat vector) for each kept state (twin-reconstructed)."""
     for s in slist:
         yield s.sector, s.energy, np.asarray(s.get_vector())
+
+
+class ResolventBatch:
+    """Collects excitation channels and runs ONE batched Lanczos per target
+    sector (lanczos_tridiag_op_batched), then hands each channel its
+    (weights, poles) for accumulation."""
+
+    def __init__(self, cfg: EDConfig, cache: HamCache, egs: float,
+                 zeta: float, finite_t: bool):
+        self.cfg, self.cache = cfg, cache
+        self.egs, self.zeta, self.finite_t = egs, zeta, finite_t
+        self.jobs: Dict[int, list] = {}
+        self.jsecs: Dict[int, Sector] = {}
+
+    def add(self, jsec: Sector, vvinit: np.ndarray, state_e: float,
+            meta) -> None:
+        norm2 = float(np.real(np.vdot(vvinit, vvinit)))
+        if norm2 < 1e-300:
+            return
+        self.jsecs[jsec.index] = jsec
+        self.jobs.setdefault(jsec.index, []).append(
+            (vvinit / np.sqrt(norm2), norm2, state_e, meta))
+
+    def run(self):
+        """Yields (meta, weights, poles) per channel."""
+        from .lanczos import lanczos_tridiag_op_batched
+        cfg = self.cfg
+        for jidx, joblist in self.jobs.items():
+            jsec = self.jsecs[jidx]
+            spec, arrays, blocks = self.cache.op(jsec)
+            nlanc = min(jsec.dim, cfg.lanc_ngfiter)
+            V0 = jnp.asarray(np.stack([j[0] for j in joblist]))
+            al, be, ns = lanczos_tridiag_op_batched(spec, blocks, arrays,
+                                                    V0, nlanc)
+            al, be, ns = np.asarray(al), np.asarray(be), np.asarray(ns)
+            for b, (v0, norm2, state_e, meta) in enumerate(joblist):
+                n = max(int(ns[b]), 1)
+                evals, Z = tridiag_eigh(al[b, :n], be[b, :n])
+                beta_T = cfg.beta
+                if self.finite_t and beta_T * (state_e - self.egs) < 200:
+                    peso_bz = np.exp(-beta_T * (state_e - self.egs)) \
+                        / self.zeta
+                elif not self.finite_t:
+                    peso_bz = 1.0 / self.zeta
+                else:
+                    peso_bz = 0.0
+                cnorm2 = meta.get("cnorm2", 1.0) if isinstance(meta, dict) \
+                    else 1.0
+                weights = cnorm2 * norm2 * peso_bz * Z[0, :] ** 2
+                poles = evals - state_e
+                yield meta, np.asarray(weights, dtype=complex), \
+                    np.asarray(poles)
+        self.jobs.clear()
+        self.jsecs.clear()

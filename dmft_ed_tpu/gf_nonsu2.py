@@ -18,7 +18,7 @@ from .bath import Bath
 from .bath_fns import bath_params, invg0, g0and
 from .eigenspace import StateList
 from .excitations import apply_op_combo
-from .gf_common import HamCache, krylov_poles, accumulate_poles, state_iter
+from .gf_common import HamCache, accumulate_poles, state_iter
 from . import grids
 
 
@@ -47,6 +47,7 @@ def _components(cfg: EDConfig, bath: Bath):
 
 def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
                     bath: Bath, hloc: np.ndarray, finite_t: bool, log=None):
+    from .gf_common import ResolventBatch
     table = sector_table(cfg)
     cache = HamCache(cfg, bath, hloc)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
@@ -55,45 +56,50 @@ def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
     Gr = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lreal),
                   dtype=complex)
     egs = slist.emin
+    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
-    def accumulate(sector, vec, e_i, terms, isign, tgt_m, tgt_r, cnorm2=None):
+    def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
         if r is None:
             return
         jsec, vv = r
-        w, p = krylov_poles(cfg, cache, jsec, vv, e_i, egs, zeta, finite_t,
-                            cnorm2=cnorm2)
-        tgt_m += accumulate_poles(zm, w, p, isign)
-        tgt_r += accumulate_poles(zr, w, p, isign)
+        batch.add(jsec, vv, e_i,
+                  {"isign": isign, "target": target, "cnorm2": cnorm2})
 
-    # spin-diagonal, orbital-diagonal
+    # spin-diagonal, orbital-diagonal channels
     for s in range(cfg.nspin):
         for a in range(cfg.norb):
             if log:
                 log(f"Get G_l{a + 1}{a + 1}_s{s + 1}{s + 1}")
             for sector, e_i, vec in state_iter(slist):
-                accumulate(sector, vec, e_i, [(1.0, s, a, True)], 1,
-                           Gm[s, s, a, a], Gr[s, s, a, a])
-                accumulate(sector, vec, e_i, [(1.0, s, a, False)], -1,
-                           Gm[s, s, a, a], Gr[s, s, a, a])
+                enqueue(sector, vec, e_i, [(1.0, s, a, True)], 1,
+                        (s, s, a, a))
+                enqueue(sector, vec, e_i, [(1.0, s, a, False)], -1,
+                        (s, s, a, a))
 
-    # off-diagonal combinations + (1+i) reconstruction
-    for (s, s2, a, b) in _components(cfg, bath):
+    comps = _components(cfg, bath)
+    for (s, s2, a, b) in comps:
         if log:
             log(f"Get G_l{a + 1}{b + 1}_s{s + 1}{s2 + 1}")
         for sector, e_i, vec in state_iter(slist):
-            accumulate(sector, vec, e_i,
-                       [(1.0, s, a, True), (1.0, s2, b, True)], 1,
-                       Gm[s, s2, a, b], Gr[s, s2, a, b])
-            accumulate(sector, vec, e_i,
-                       [(1.0, s, a, False), (1.0, s2, b, False)], -1,
-                       Gm[s, s2, a, b], Gr[s, s2, a, b])
-            accumulate(sector, vec, e_i,
-                       [(1.0, s, a, True), (1j, s2, b, True)], 1,
-                       Gm[s, s2, a, b], Gr[s, s2, a, b], cnorm2=1j)
-            accumulate(sector, vec, e_i,
-                       [(1.0, s, a, False), (-1j, s2, b, False)], -1,
-                       Gm[s, s2, a, b], Gr[s, s2, a, b], cnorm2=1j)
+            tgt = (s, s2, a, b)
+            enqueue(sector, vec, e_i,
+                    [(1.0, s, a, True), (1.0, s2, b, True)], 1, tgt)
+            enqueue(sector, vec, e_i,
+                    [(1.0, s, a, False), (1.0, s2, b, False)], -1, tgt)
+            enqueue(sector, vec, e_i,
+                    [(1.0, s, a, True), (1j, s2, b, True)], 1, tgt, 1j)
+            enqueue(sector, vec, e_i,
+                    [(1.0, s, a, False), (-1j, s2, b, False)], -1, tgt, 1j)
+
+    for meta, w, p in batch.run():
+        s, s2, a, b = meta["target"]
+        isign = meta["isign"]
+        Gm[s, s2, a, b] += accumulate_poles(zm, w, p, isign)
+        Gr[s, s2, a, b] += accumulate_poles(zr, w, p, isign)
+
+    # (1+i) symmetry reconstruction for the off-diagonal components
+    for (s, s2, a, b) in comps:
         for G in (Gm, Gr):
             G[s, s2, a, b] = 0.5 * (G[s, s2, a, b]
                                     - (1 + 1j) * G[s, s, a, a]

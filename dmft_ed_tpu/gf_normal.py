@@ -19,7 +19,7 @@ from .bath import Bath
 from .bath_fns import bath_params, invg0, g0and
 from .eigenspace import StateList
 from .excitations import apply_spin_op, apply_op_combo
-from .gf_common import HamCache, krylov_poles, accumulate_poles, state_iter
+from .gf_common import HamCache, accumulate_poles, state_iter
 from . import grids
 
 
@@ -31,41 +31,43 @@ def _gf_shape(cfg, L):
 def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
                     bath: Bath, hloc: np.ndarray, finite_t: bool,
                     log=None) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (Gmats, Greal) [Nspin,Nspin,Norb,Norb,L]."""
+    """Returns (Gmats, Greal) [Nspin,Nspin,Norb,Norb,L].
+
+    All excitation channels targeting the same sector run as ONE batched
+    device Lanczos (gf_common.ResolventBatch) — the reference's per-channel
+    serial loops (lanc_build_gf_normal_c) become a device batch axis.
+    """
     table = sector_table(cfg)
     cache = HamCache(cfg, bath, hloc)
+    from .gf_common import ResolventBatch
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
     Gm, Gr = _gf_shape(cfg, cfg.lmats), _gf_shape(cfg, cfg.lreal)
     egs = slist.emin
+    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
-    def channel(sector, vec, e_i, terms, isign):
-        """One excitation channel: apply op combo, Lanczos, accumulate."""
+    def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
         if r is None:
-            return None, None
+            return
         jsec, vv = r
-        return krylov_poles(cfg, cache, jsec, vv, e_i, egs, zeta, finite_t)
+        batch.add(jsec, vv, e_i,
+                  {"isign": isign, "target": target, "cnorm2": cnorm2})
 
-    # --- diagonal G_aa (lanc_build_gf_normal_c)
+    # --- diagonal G_aa channels (lanc_build_gf_normal_c)
     for ispin in range(cfg.nspin):
         for iorb in range(cfg.norb):
             if log:
                 log(f"Get G_l{iorb + 1}_s{ispin + 1}")
             for sector, e_i, vec in state_iter(slist):
-                for dagger, isign in ((True, 1), (False, -1)):
-                    w, p = channel(sector, vec, e_i,
-                                   [(1.0, ispin, iorb, dagger)], isign)
-                    if w is None:
-                        continue
-                    Gm[ispin, ispin, iorb, iorb] += accumulate_poles(
-                        zm, w, p, isign)
-                    Gr[ispin, ispin, iorb, iorb] += accumulate_poles(
-                        zr, w, p, isign)
+                enqueue(sector, vec, e_i, [(1.0, ispin, iorb, True)], 1,
+                        (ispin, ispin, iorb, iorb))
+                enqueue(sector, vec, e_i, [(1.0, ispin, iorb, False)], -1,
+                        (ispin, ispin, iorb, iorb))
 
-    # --- orbital off-diagonals (lanc_build_gf_normal_mix_c)
+    # --- orbital off-diagonal channels (lanc_build_gf_normal_mix_c)
     offdiag = (cfg.bath_type != "normal") or cfg.ed_solve_offdiag_gf
-    if offdiag and cfg.norb > 1:
-        mask = _offdiag_mask(cfg, bath)
+    mask = _offdiag_mask(cfg, bath) if (offdiag and cfg.norb > 1) else None
+    if mask is not None:
         for ispin in range(cfg.nspin):
             for iorb in range(cfg.norb):
                 for jorb in range(iorb + 1, cfg.norb):
@@ -74,31 +76,35 @@ def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
                     if log:
                         log(f"Get G_l{iorb + 1}_m{jorb + 1}_s{ispin + 1}")
                     for sector, e_i, vec in state_iter(slist):
-                        combos = [
-                            # (terms, cnorm2 multiplier, isign)
-                            ([(1.0, ispin, iorb, True),
-                              (1.0, ispin, jorb, True)], 1.0, 1),
-                            ([(1.0, ispin, iorb, False),
-                              (1.0, ispin, jorb, False)], 1.0, -1),
-                            ([(1.0, ispin, iorb, True),
-                              (1j, ispin, jorb, True)], -1j, 1),
-                            ([(1.0, ispin, iorb, False),
-                              (-1j, ispin, jorb, False)], -1j, -1),
-                        ]
-                        for terms, cn, isign in combos:
-                            r = apply_op_combo(cfg, table, sector, vec, terms)
-                            if r is None:
-                                continue
-                            jsec, vv = r
-                            w, p = krylov_poles(cfg, cache, jsec, vv, e_i,
-                                                egs, zeta, finite_t,
-                                                cnorm2=cn)
-                            Gm[ispin, ispin, iorb, jorb] += accumulate_poles(
-                                zm, w, p, isign)
-                            Gr[ispin, ispin, iorb, jorb] += accumulate_poles(
-                                zr, w, p, isign)
-                    # symmetry reconstruction (ED_GF_NORMAL.f90:52-71)
-                    for G, in ((Gm,), (Gr,)):
+                        tgt = (ispin, ispin, iorb, jorb)
+                        enqueue(sector, vec, e_i,
+                                [(1.0, ispin, iorb, True),
+                                 (1.0, ispin, jorb, True)], 1, tgt)
+                        enqueue(sector, vec, e_i,
+                                [(1.0, ispin, iorb, False),
+                                 (1.0, ispin, jorb, False)], -1, tgt)
+                        enqueue(sector, vec, e_i,
+                                [(1.0, ispin, iorb, True),
+                                 (1j, ispin, jorb, True)], 1, tgt, -1j)
+                        enqueue(sector, vec, e_i,
+                                [(1.0, ispin, iorb, False),
+                                 (-1j, ispin, jorb, False)], -1, tgt, -1j)
+
+    # --- one batched Lanczos per target sector, then pole accumulation
+    for meta, w, p in batch.run():
+        s1, s2, a, b = meta["target"]
+        isign = meta["isign"]
+        Gm[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
+        Gr[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
+
+    # --- symmetry reconstruction (ED_GF_NORMAL.f90:52-71)
+    if mask is not None:
+        for ispin in range(cfg.nspin):
+            for iorb in range(cfg.norb):
+                for jorb in range(iorb + 1, cfg.norb):
+                    if not mask[ispin, iorb, jorb]:
+                        continue
+                    for G in (Gm, Gr):
                         G[ispin, ispin, iorb, jorb] = 0.5 * (
                             G[ispin, ispin, iorb, jorb]
                             - (1 - 1j) * G[ispin, ispin, iorb, iorb]

@@ -19,13 +19,15 @@ from .bath import Bath
 from .bath_fns import bath_params, invg0, g0and, f0and, fdelta
 from .eigenspace import StateList
 from .excitations import apply_op_combo
-from .gf_common import HamCache, krylov_poles, accumulate_poles, state_iter
+from .gf_common import HamCache, accumulate_poles, state_iter
 from . import grids
 
 
 def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
                     bath: Bath, hloc: np.ndarray, finite_t: bool, log=None):
-    """Returns (Gmats, Greal, Fmats, Freal)."""
+    """Returns (Gmats, Greal, Fmats, Freal); all channels batched per
+    target sector (gf_common.ResolventBatch)."""
+    from .gf_common import ResolventBatch
     table = sector_table(cfg)
     cache = HamCache(cfg, bath, hloc)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
@@ -35,80 +37,84 @@ def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
     Gr = np.zeros(shape_r, dtype=complex)
     Fm = np.zeros(shape_m, dtype=complex)
     Fr = np.zeros(shape_r, dtype=complex)
-    barGm = np.zeros((cfg.norb, cfg.lmats), dtype=complex)
-    barGr = np.zeros((cfg.norb, cfg.lreal), dtype=complex)
+    auxm = np.zeros((3, cfg.norb, cfg.lmats), dtype=complex)
+    auxr = np.zeros((3, cfg.norb, cfg.lreal), dtype=complex)
+    mixm = np.zeros((cfg.norb, cfg.norb, cfg.lmats), dtype=complex)
+    mixr = np.zeros((cfg.norb, cfg.norb, cfg.lreal), dtype=complex)
     egs = slist.emin
+    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
-    def accumulate(sector, vec, e_i, terms, isign, am, ar, cnorm2=None):
+    def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
         if r is None:
             return
         jsec, vv = r
-        w, p = krylov_poles(cfg, cache, jsec, vv, e_i, egs, zeta, finite_t,
-                            cnorm2=cnorm2)
-        am += accumulate_poles(zm, w, p, isign)
-        ar += accumulate_poles(zr, w, p, isign)
+        batch.add(jsec, vv, e_i,
+                  {"isign": isign, "target": target, "cnorm2": cnorm2})
 
     for a in range(cfg.norb):
         if log:
             log(f"Get G&F_l{a + 1}_s1")
-        auxm = np.zeros((3, cfg.lmats), dtype=complex)
-        auxr = np.zeros((3, cfg.lreal), dtype=complex)
         for sector, e_i, vec in state_iter(slist):
             # channel 1: G
-            accumulate(sector, vec, e_i, [(1.0, 0, a, True)], 1,
-                       auxm[0], auxr[0])
-            accumulate(sector, vec, e_i, [(1.0, 0, a, False)], -1,
-                       auxm[0], auxr[0])
-            # channel 2: barG (note inverted isign: hole propagator)
-            accumulate(sector, vec, e_i, [(1.0, 1, a, False)], 1,
-                       auxm[1], auxr[1])
-            accumulate(sector, vec, e_i, [(1.0, 1, a, True)], -1,
-                       auxm[1], auxr[1])
+            enqueue(sector, vec, e_i, [(1.0, 0, a, True)], 1, ("aux", 0, a))
+            enqueue(sector, vec, e_i, [(1.0, 0, a, False)], -1, ("aux", 0, a))
+            # channel 2: barG (hole propagator: inverted isign)
+            enqueue(sector, vec, e_i, [(1.0, 1, a, False)], 1, ("aux", 1, a))
+            enqueue(sector, vec, e_i, [(1.0, 1, a, True)], -1, ("aux", 1, a))
             # channel 3: A = (c†_up + c_dw)
-            accumulate(sector, vec, e_i,
-                       [(1.0, 0, a, True), (1.0, 1, a, False)], 1,
-                       auxm[2], auxr[2])
-            accumulate(sector, vec, e_i,
-                       [(1.0, 0, a, False), (1.0, 1, a, True)], -1,
-                       auxm[2], auxr[2])
-        Gm[0, 0, a, a] = auxm[0]
-        Gr[0, 0, a, a] = auxr[0]
-        barGm[a] = auxm[1]
-        barGr[a] = auxr[1]
-        Fm[0, 0, a, a] = 0.5 * (auxm[2] - auxm[0] - auxm[1])
-        Fr[0, 0, a, a] = 0.5 * (auxr[2] - auxr[0] - auxr[1])
+            enqueue(sector, vec, e_i,
+                    [(1.0, 0, a, True), (1.0, 1, a, False)], 1, ("aux", 2, a))
+            enqueue(sector, vec, e_i,
+                    [(1.0, 0, a, False), (1.0, 1, a, True)], -1,
+                    ("aux", 2, a))
 
     if cfg.bath_type == "hybrid" and cfg.norb > 1:
         for a in range(cfg.norb):
             for b in range(a + 1, cfg.norb):
                 if log:
                     log(f"Get G_l{a + 1}_m{b + 1}_s1")
-                am = np.zeros(cfg.lmats, dtype=complex)
-                ar = np.zeros(cfg.lreal, dtype=complex)
                 for sector, e_i, vec in state_iter(slist):
-                    accumulate(sector, vec, e_i,
-                               [(1.0, 0, a, True), (1.0, 1, b, False)], 1,
-                               am, ar)
-                    accumulate(sector, vec, e_i,
-                               [(1.0, 0, a, False), (1.0, 1, b, True)], -1,
-                               am, ar)
-                    accumulate(sector, vec, e_i,
-                               [(1.0, 0, a, True), (1j, 1, b, False)], 1,
-                               am, ar, cnorm2=-1j)
-                    accumulate(sector, vec, e_i,
-                               [(1.0, 0, a, False), (-1j, 1, b, True)], -1,
-                               am, ar, cnorm2=-1j)
-                Gm[0, 0, a, b] = am
-                Gr[0, 0, a, b] = ar
+                    tgt = ("mix", a, b)
+                    enqueue(sector, vec, e_i,
+                            [(1.0, 0, a, True), (1.0, 1, b, False)], 1, tgt)
+                    enqueue(sector, vec, e_i,
+                            [(1.0, 0, a, False), (1.0, 1, b, True)], -1, tgt)
+                    enqueue(sector, vec, e_i,
+                            [(1.0, 0, a, True), (1j, 1, b, False)], 1, tgt,
+                            -1j)
+                    enqueue(sector, vec, e_i,
+                            [(1.0, 0, a, False), (-1j, 1, b, True)], -1, tgt,
+                            -1j)
+
+    for meta, w, p in batch.run():
+        isign = meta["isign"]
+        kind = meta["target"][0]
+        if kind == "aux":
+            _, ch, a = meta["target"]
+            auxm[ch, a] += accumulate_poles(zm, w, p, isign)
+            auxr[ch, a] += accumulate_poles(zr, w, p, isign)
+        else:
+            _, a, b = meta["target"]
+            mixm[a, b] += accumulate_poles(zm, w, p, isign)
+            mixr[a, b] += accumulate_poles(zr, w, p, isign)
+
+    for a in range(cfg.norb):
+        Gm[0, 0, a, a] = auxm[0, a]
+        Gr[0, 0, a, a] = auxr[0, a]
+        Fm[0, 0, a, a] = 0.5 * (auxm[2, a] - auxm[0, a] - auxm[1, a])
+        Fr[0, 0, a, a] = 0.5 * (auxr[2, a] - auxr[0, a] - auxr[1, a])
+    if cfg.bath_type == "hybrid" and cfg.norb > 1:
         for a in range(cfg.norb):
             for b in range(a + 1, cfg.norb):
-                Fm[0, 0, a, b] = 0.5 * (Gm[0, 0, a, b]
+                Gm[0, 0, a, b] = mixm[a, b]
+                Gr[0, 0, a, b] = mixr[a, b]
+                Fm[0, 0, a, b] = 0.5 * (mixm[a, b]
                                         - (1 - 1j) * Gm[0, 0, a, a]
-                                        - (1 - 1j) * barGm[b])
-                Fr[0, 0, a, b] = 0.5 * (Gr[0, 0, a, b]
+                                        - (1 - 1j) * auxm[1, b])
+                Fr[0, 0, a, b] = 0.5 * (mixr[a, b]
                                         - (1 - 1j) * Gr[0, 0, a, a]
-                                        - (1 - 1j) * barGr[b])
+                                        - (1 - 1j) * auxr[1, b])
     return Gm, Gr, Fm, Fr
 
 

@@ -357,3 +357,21 @@ def eigs_lanczos_op(spec, blocks, arrays, v0, neigen, ncv, maxiter=512,
         j0 = k_eff
     Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
     return evals, (Yk.T @ V[:m_eff]), niter
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def lanczos_tridiag_op_batched(spec, blocks, arrays, V0, niter: int):
+    """vmapped 3-term recurrence: V0 [B, dim] -> (alphas [B, niter],
+    betas [B, niter], nsteps [B]). One compiled scan serves every GF
+    channel targeting the same sector — the device-side batching the
+    reference's per-channel serial Lanczos loops never had."""
+    from .hamiltonian import apply_op
+
+    def mv(x):
+        V = _unflatten_blocks_static(x, blocks)
+        return _flatten_tuple(apply_op(spec, arrays, V))
+
+    def one(v0):
+        return _lanczos_tridiag_impl(mv, v0, niter)
+
+    return jax.vmap(one)(V0)
