@@ -124,7 +124,13 @@ class ResolventBatch:
             jsec = self.jsecs[jidx]
             spec, arrays, blocks = self.cache.op(jsec)
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-            V0 = jnp.asarray(np.stack([j[0] for j in joblist]))
+            B = len(joblist)
+            # bucket the batch size (next power of two) so jit keys stay
+            # stable across states/channels with varying channel counts
+            Bpad = 1 << (B - 1).bit_length()
+            stack = [j[0] for j in joblist]
+            stack += [stack[0]] * (Bpad - B)
+            V0 = jnp.asarray(np.stack(stack))
             al, be, ns = lanczos_tridiag_op_batched(spec, blocks, arrays,
                                                     V0, nlanc)
             al, be, ns = np.asarray(al), np.asarray(be), np.asarray(ns)
