@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Distributed-SpMV scaling harness (BASELINE north star: >=70% scaling
+efficiency of the sector H·v at 2+ hosts).
+
+Runs the row-sharded factorized H·v inside the Lanczos recurrence on
+meshes of 1, 2, 4, ... shards over whatever devices are visible, and
+reports per-shard-count throughput + efficiency vs the single-shard run.
+
+On this container only one real TPU chip is reachable, so multi-shard
+numbers are only meaningful when executed on a pod slice; with
+JAX_PLATFORMS=cpu and --xla_force_host_platform_device_count=N it
+validates the sharded program (correct, not representative of ICI).
+
+Prints one JSON line per mesh size + a summary line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from dmft_ed_tpu.config import EDConfig  # noqa: E402
+from dmft_ed_tpu.bath import Bath  # noqa: E402
+from dmft_ed_tpu.sectors import sector_table  # noqa: E402
+from dmft_ed_tpu.hamiltonian import build_sector_hamiltonian  # noqa: E402
+from dmft_ed_tpu.parallel import make_mesh, make_sharded_matvec  # noqa: E402
+from dmft_ed_tpu.lanczos import precise_dot  # noqa: E402
+
+
+def build(nbath=13, dtype="float64", prec="ozaki6"):
+    cfg = EDConfig(norb=1, nbath=nbath, nspin=1, uloc=(2.0,), dtype=dtype,
+                   matmul_precision=prec,
+                   dense_matmul_threshold=8192).validate()
+    rng = np.random.default_rng(0)
+    bath = Bath(cfg)
+    bath.e[:] = np.linspace(-1, 1, nbath)[None, None, :]
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 1, 1))
+    sec = sector_table(cfg).get(cfg.ns // 2, cfg.ns // 2)
+    ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+    return cfg, sec, ham
+
+
+def run_mesh(cfg, sec, ham, n_shards, niter=20):
+    mesh = make_mesh(n_rows=n_shards, n_sites=1,
+                     devices=jax.devices()[:n_shards])
+    mv, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh)
+    blk = sec.blocks[0]
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(blk.ddw + pad, blk.dup)), dtype=dt)
+    v = v / jnp.linalg.norm(v)
+    v = jax.device_put(v, shd)
+
+    def loop(v0):
+        def step(c, _):
+            vp, vv, bp = c
+            w = mv(vv)
+            a = precise_dot(vv, w)
+            w = w - a * vv - bp * vp
+            b = jnp.sqrt(precise_dot(w, w))
+            return (vv, w / jnp.where(b > 1e-13, b, 1.0), b), a
+        (c, al) = jax.lax.scan(step, (jnp.zeros_like(v0), v0,
+                                      jnp.asarray(0.0)), None, length=niter)
+        return c[1]
+
+    f = jax.jit(loop)
+    y = f(v)
+    jax.block_until_ready(y)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        y = f(v)
+        jax.block_until_ready(y)
+        best = min(best, time.time() - t0)
+    return best / niter
+
+
+def main():
+    cfg, sec, ham = build()
+    nnz = ham.nnz_estimate()
+    ndev = len(jax.devices())
+    shard_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    results = []
+    t1 = None
+    for n in shard_counts:
+        t = run_mesh(cfg, sec, ham, n)
+        if t1 is None:
+            t1 = t
+        eff = t1 / (t * n)
+        rec = {"shards": n, "s_per_iter": t, "nnz_per_s": nnz / t,
+               "scaling_efficiency": eff}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({
+        "metric": "distributed_HxV_scaling_efficiency",
+        "value": results[-1]["scaling_efficiency"],
+        "unit": "fraction_vs_1shard",
+        "vs_baseline": results[-1]["scaling_efficiency"] / 0.70,
+        "detail": {"sector_dim": sec.dim, "devices": ndev,
+                   "device0": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()
