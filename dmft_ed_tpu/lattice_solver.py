@@ -45,9 +45,28 @@ class LatticeEDSolver:
                     self.solvers[i].mask)
         return baths
 
-    def solve(self, baths: np.ndarray) -> List[SolveResult]:
-        self.results = [s.solve(baths[i])
-                        for i, s in enumerate(self.solvers)]
+    def solve(self, baths: np.ndarray,
+              batched: bool = True) -> List[SolveResult]:
+        """Solve all inequivalent impurities. With `batched`, the sector
+        sweep runs as site-batched device eigh calls (diag.diagonalize_sites)
+        — the 'sites' DP axis; the GF/fit stages remain per-site."""
+        if not batched:
+            self.results = [s.solve(baths[i])
+                            for i, s in enumerate(self.solvers)]
+            return self.results
+        from .bath import unpack_bath
+        from .diag import diagonalize_sites
+        cfg = self.cfg
+        ubaths = [unpack_bath(cfg, baths[i], self.solvers[i].mask)
+                  for i in range(self.nineq)]
+        hlocs = [s.hloc for s in self.solvers]
+        slists, zetas, states = diagonalize_sites(
+            cfg, ubaths, hlocs, [s.diag_state for s in self.solvers])
+        self.results = []
+        for i, s in enumerate(self.solvers):
+            s.diag_state = states[i]
+            self.results.append(
+                s.solve_from_spectrum(ubaths[i], slists[i], zetas[i]))
         return self.results
 
     # stacked getters (ed_get_*_lattice, ED_IO)

@@ -99,11 +99,17 @@ class EDSolver:
     def solve(self, bath_flat: np.ndarray) -> SolveResult:
         cfg = self.cfg
         bath = unpack_bath(cfg, bath_flat, self.mask)
-        res = SolveResult()
         # --- spectrum
         with self.timers("diagonalize"):
             slist, zeta, self.diag_state = diagonalize(
                 cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
+        return self.solve_from_spectrum(bath, slist, zeta)
+
+    def solve_from_spectrum(self, bath, slist, zeta) -> SolveResult:
+        """GF/observables/files pipeline given a precomputed spectrum
+        (used by the site-batched lattice path)."""
+        cfg = self.cfg
+        res = SolveResult()
         finite_t = cfg.finite_t or self.diag_state.lanc_nstates_total > 1
         finite_t = finite_t and len(slist) > 1
         res.egs, res.zeta, res.nstates = slist.emin, zeta, len(slist)
