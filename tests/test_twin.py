@@ -76,3 +76,30 @@ def test_twin_superc():
     assert abs(res[0][1] - res[1][1]) < 1e-10
     np.testing.assert_allclose(res[1][2], res[0][2], atol=1e-8)
     np.testing.assert_allclose(res[1][3], res[0][3], atol=1e-8)
+
+
+def test_ed_sectors_restart_mask(tmp_path, monkeypatch):
+    """ed_sectors=T + sectors_list.restart restricts the sweep to the listed
+    sectors +/- ed_sectors_shift (ed_pre_diag, ED_DIAG.f90:263-363)."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.diag import sectors_mask
+    from dmft_ed_tpu.sectors import sector_table
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), ed_sectors=True,
+                   ed_sectors_shift=1).validate()
+    table = sector_table(cfg)
+    # no restart file: scan everything
+    assert sectors_mask(cfg, table).all()
+    with open("sectors_list.restart", "w") as fh:
+        fh.write("2 2\n")
+    mask = sectors_mask(cfg, table)
+    on = {table.sectors[i].qn[1:] for i in np.nonzero(mask)[0]}
+    assert on == {(2, 2), (1, 2), (3, 2), (2, 1), (2, 3)}
+    # the full solve honors the mask: only listed-sector states kept
+    rng = np.random.default_rng(5)
+    bath = Bath(cfg)
+    bath.e[:] = np.array([-1.0, 0.0, 1.0])[None, None, :]
+    bath.v[:] = 0.5
+    hloc = np.zeros((1, 1, 1, 1))
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    for s in slist:
+        assert s.sector.qn[1:] in on
