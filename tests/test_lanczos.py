@@ -89,3 +89,25 @@ def test_ground_state_two_pass():
     assert abs(e0 - dense[0]) < 1e-8
     r = A @ np.asarray(gs) - e0 * np.asarray(gs)
     assert np.linalg.norm(r) < 1e-5
+
+
+def test_diag_plain_lanczos_dispatch():
+    """lanc_method='lanczos' (plain T=0 path) through the sector sweep."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.bath import Bath
+    from dmft_ed_tpu.diag import diagonalize
+    for method in ("arpack", "lanczos"):
+        cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(2.0,),
+                       lanc_method=method, lanc_dim_threshold=8).validate()
+        rng = np.random.default_rng(14)
+        bath = Bath(cfg)
+        bath.e[:] = np.linspace(-1, 1, 4)[None, None, :]
+        bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+        hloc = np.zeros((1, 1, 1, 1))
+        slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+        if method == "arpack":
+            e_ref = slist.emin
+        else:
+            assert abs(slist.emin - e_ref) < 1e-8
