@@ -75,9 +75,12 @@ def digit_matmul_tiles(ad, bd, nslices: int, tm: int = 256, tn: int = 256,
     N = bd.shape[2]
     grid = (M // tm, N // tn)
     kernel = partial(_digit_matmul_kernel, nslices, tn)
-    a_specs = [pl.BlockSpec((tm, K), lambda i, j: (i, 0))
+    # NB: index-map constants must stay i32 — a literal 0 traces as i64
+    # under jax_enable_x64 and Mosaic fails to legalize the mixed-type
+    # index-map return ('func.return' (i32, i64) legalization error).
+    a_specs = [pl.BlockSpec((tm, K), lambda i, j: (i, j * 0))
                for _ in range(nslices)]
-    b_specs = [pl.BlockSpec((K, tn), lambda i, j: (0, j))
+    b_specs = [pl.BlockSpec((K, tn), lambda i, j: (i * 0, j))
                for _ in range(nslices)]
     out = pl.pallas_call(
         kernel,

@@ -112,3 +112,48 @@ def test_ahm_disorder_pair_localization(rundir):
     assert 0.0 < r.dens.sum() < 8.0
     assert r.dens.max() > 1.5 and r.dens.min() < 0.5
     assert np.all(np.isfinite(r.phisc))
+
+
+def test_tblg_hk_structure():
+    """tBLG Wannier Hamiltonian: hermiticity at every k, valley relation
+    h-(k) = h+(-k), and file-format round trip (ed_tBLG_wannier.f90)."""
+    from dmft_ed_tpu.models import tblg
+    idx, t = tblg.synthetic_hopping(rng=3)
+    nk = 6
+    hk = tblg.tblg_hk(idx, t, nk=nk)
+    assert hk.shape == (4, 4, nk * nk)
+    # hermitian at every k (hopping set is closed under R->-R, p<->q, conj)
+    np.testing.assert_allclose(hk, hk.conj().transpose(1, 0, 2), atol=1e-12)
+    # valley blocks: h-(k) = h+(-k); -k maps onto the uniform grid
+    hp = hk[:2, :2].reshape(2, 2, nk, nk)
+    hm = hk[2:, 2:].reshape(2, 2, nk, nk)
+    neg = (-np.arange(nk)) % nk
+    np.testing.assert_allclose(hm, hp[:, :, neg][:, :, :, neg], atol=1e-12)
+    # off-valley blocks identically zero
+    assert np.all(hk[:2, 2:] == 0) and np.all(hk[2:, :2] == 0)
+
+
+def test_tblg_hopping_file_roundtrip(rundir):
+    from dmft_ed_tpu.models import tblg
+    idx, t = tblg.synthetic_hopping(rng=5)
+    tblg.write_hopping("eff_hopping.dat", idx, t)
+    idx2, t2 = tblg.read_hopping("eff_hopping.dat")
+    np.testing.assert_array_equal(idx, idx2)
+    np.testing.assert_allclose(t, t2, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_tblg_dmft_valley_symmetry(rundir):
+    """4-site tBLG loop: densities respect the valley degeneracy
+    (site i and site i+2 are time-reversal partners on a symmetric grid)."""
+    from dmft_ed_tpu.models import tblg
+    idx, t = tblg.synthetic_hopping(rng=3)
+    # meV-scale bandwidth: pick U of the same order
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), beta=30.0,
+                   lmats=120, lreal=30, lfit=120, nloop=8, dmft_error=1e-3,
+                   ed_verbose=0, lanc_dim_threshold=1024).validate()
+    r = tblg.run(cfg, idx, t, nk=6, wmixing=0.6, log=lambda m: None)
+    assert r.error < 5e-2
+    assert np.all(np.isfinite(r.dens)) and np.all(np.isfinite(r.docc))
+    np.testing.assert_allclose(r.dens[0], r.dens[2], atol=5e-3)
+    np.testing.assert_allclose(r.dens[1], r.dens[3], atol=5e-3)
