@@ -9,12 +9,14 @@ Families:
   kspace              generic k-space loop + square/graphene/haldane/
                       kane-mele Bloch Hamiltonians
   nano                real-space DMFT over arbitrary Hij + site symmetry
+  tblg                twisted-bilayer-graphene Wannier flat bands (file-driven Hk)
   hm_square_lattice   square-flake geometry wrapper over nano
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
-               soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder)
+               soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
+               tblg)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder"]
+           "hm_slab", "ahm_disorder", "tblg"]
