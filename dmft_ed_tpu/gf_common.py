@@ -9,7 +9,7 @@ SURVEY.md §7 principle 6).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -96,60 +96,106 @@ def state_iter(slist: StateList):
 
 
 class ResolventBatch:
-    """Collects excitation channels and runs ONE batched Lanczos per target
-    sector (lanczos_tridiag_op_batched), then hands each channel its
-    (weights, poles) for accumulation."""
+    """Collects excitation channels and batches the Krylov resolvents on
+    TWO device axes before running:
 
-    def __init__(self, cfg: EDConfig, cache: HamCache, egs: float,
-                 zeta: float, finite_t: bool):
-        self.cfg, self.cache = cfg, cache
-        self.egs, self.zeta, self.finite_t = egs, zeta, finite_t
-        self.jobs: Dict[int, list] = {}
-        self.jsecs: Dict[int, Sector] = {}
+    - channels targeting the same sector stack on a vmap batch axis
+      (lanczos_tridiag_op_batched — one compiled scan per sector);
+    - *structurally identical* target operators — the same sector on
+      different inequivalent sites (the lattice DP axis), or equal-shape
+      sectors of one impurity — stack on a second vmap axis over the
+      operator arrays (lanczos_tridiag_op_stacked).
+
+    The reference runs every one of these Lanczos chains serially
+    (lanc_build_gf_normal_c state/channel loops; round-robin sites,
+    ED_MAIN.f90:576-678). Grouping key: the operator spec (structure +
+    shapes), which is value-independent by construction (hamiltonian.py
+    spec/arrays split).
+
+    Single-impurity use: ResolventBatch(cfg, cache, egs, zeta, finite_t);
+    multi-site use: ResolventBatch(cfg) + add_site(site, ...) per site,
+    channel metas carry the site for routing."""
+
+    def __init__(self, cfg: EDConfig, cache: Optional[HamCache] = None,
+                 egs: float = 0.0, zeta: float = 1.0,
+                 finite_t: bool = False):
+        self.cfg = cfg
+        self.sites: Dict[int, tuple] = {}
+        if cache is not None:
+            self.add_site(0, cache, egs, zeta, finite_t)
+        self.jobs: Dict[tuple, list] = {}
+        self.jsecs: Dict[tuple, Sector] = {}
+
+    def add_site(self, site: int, cache: HamCache, egs: float, zeta: float,
+                 finite_t: bool) -> None:
+        self.sites[site] = (cache, egs, zeta, finite_t)
 
     def add(self, jsec: Sector, vvinit: np.ndarray, state_e: float,
-            meta) -> None:
+            meta, site: int = 0) -> None:
         norm2 = float(np.real(np.vdot(vvinit, vvinit)))
         if norm2 < 1e-300:
             return
-        self.jsecs[jsec.index] = jsec
-        self.jobs.setdefault(jsec.index, []).append(
+        key = (site, jsec.index)
+        self.jsecs[key] = jsec
+        self.jobs.setdefault(key, []).append(
             (vvinit / np.sqrt(norm2), norm2, state_e, meta))
+
+    def _weights_poles(self, site, joblist, al, be, ns):
+        cfg = self.cfg
+        _, egs, zeta, finite_t = self.sites[site]
+        for b, (v0, norm2, state_e, meta) in enumerate(joblist):
+            n = max(int(ns[b]), 1)
+            evals, Z = tridiag_eigh(al[b, :n], be[b, :n])
+            beta_T = cfg.beta
+            if finite_t and beta_T * (state_e - egs) < 200:
+                peso_bz = np.exp(-beta_T * (state_e - egs)) / zeta
+            elif not finite_t:
+                peso_bz = 1.0 / zeta
+            else:
+                peso_bz = 0.0
+            cnorm2 = meta.get("cnorm2", 1.0) if isinstance(meta, dict) \
+                else 1.0
+            weights = cnorm2 * norm2 * peso_bz * Z[0, :] ** 2
+            poles = evals - state_e
+            yield meta, np.asarray(weights, dtype=complex), np.asarray(poles)
 
     def run(self):
         """Yields (meta, weights, poles) per channel."""
-        from .lanczos import lanczos_tridiag_op_batched
+        from .lanczos import lanczos_tridiag_op_stacked
         cfg = self.cfg
-        for jidx, joblist in self.jobs.items():
-            jsec = self.jsecs[jidx]
-            spec, arrays, blocks = self.cache.op(jsec)
+        # resolve operators, then group structurally identical ones
+        entries = []
+        for key, joblist in self.jobs.items():
+            site, _ = key
+            jsec = self.jsecs[key]
+            cache = self.sites[site][0]
+            spec, arrays, blocks = cache.op(jsec)
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-            B = len(joblist)
-            # bucket the batch size (next power of two) so jit keys stay
-            # stable across states/channels with varying channel counts
-            Bpad = 1 << (B - 1).bit_length()
-            stack = [j[0] for j in joblist]
-            stack += [stack[0]] * (Bpad - B)
-            V0 = jnp.asarray(np.stack(stack))
-            al, be, ns = lanczos_tridiag_op_batched(spec, blocks, arrays,
-                                                    V0, nlanc)
+            entries.append((site, spec, blocks, arrays, nlanc, joblist))
+        groups: Dict[tuple, list] = {}
+        for e in entries:
+            gkey = (e[1], e[2], e[4],
+                    tuple((a.shape, str(a.dtype)) for a in e[3]))
+            groups.setdefault(gkey, []).append(e)
+        for (spec, blocks, nlanc, _), ents in groups.items():
+            # common channel-count bucket (next power of two) so jit keys
+            # stay stable across states/channels with varying counts
+            Bmax = max(len(e[5]) for e in ents)
+            Bpad = 1 << (Bmax - 1).bit_length()
+            v0s = []
+            for e in ents:
+                stack = [j[0] for j in e[5]]
+                stack += [stack[0]] * (Bpad - len(stack))
+                v0s.append(np.stack(stack))
+            V0 = jnp.asarray(np.stack(v0s))               # [S, Bpad, dim]
+            arrays_stacked = tuple(
+                jnp.stack([e[3][i] for e in ents])
+                for i in range(len(ents[0][3])))
+            al, be, ns = lanczos_tridiag_op_stacked(
+                spec, blocks, arrays_stacked, V0, nlanc)
             al, be, ns = np.asarray(al), np.asarray(be), np.asarray(ns)
-            for b, (v0, norm2, state_e, meta) in enumerate(joblist):
-                n = max(int(ns[b]), 1)
-                evals, Z = tridiag_eigh(al[b, :n], be[b, :n])
-                beta_T = cfg.beta
-                if self.finite_t and beta_T * (state_e - self.egs) < 200:
-                    peso_bz = np.exp(-beta_T * (state_e - self.egs)) \
-                        / self.zeta
-                elif not self.finite_t:
-                    peso_bz = 1.0 / self.zeta
-                else:
-                    peso_bz = 0.0
-                cnorm2 = meta.get("cnorm2", 1.0) if isinstance(meta, dict) \
-                    else 1.0
-                weights = cnorm2 * norm2 * peso_bz * Z[0, :] ** 2
-                poles = evals - state_e
-                yield meta, np.asarray(weights, dtype=complex), \
-                    np.asarray(poles)
+            for si, e in enumerate(ents):
+                yield from self._weights_poles(e[0], e[5], al[si], be[si],
+                                               ns[si])
         self.jobs.clear()
         self.jsecs.clear()

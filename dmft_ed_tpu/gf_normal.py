@@ -37,13 +37,25 @@ def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
     device Lanczos (gf_common.ResolventBatch) — the reference's per-channel
     serial loops (lanc_build_gf_normal_c) become a device batch axis.
     """
-    table = sector_table(cfg)
-    cache = HamCache(cfg, bath, hloc)
     from .gf_common import ResolventBatch
+    cache = HamCache(cfg, bath, hloc)
+    batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
+    finalize = gf_normal_plan(cfg, slist, bath, batch, site=0, log=log)
+    return finalize(batch.run())
+
+
+def gf_normal_plan(cfg: EDConfig, slist: StateList, bath: Bath,
+                   batch, site: int = 0, log=None):
+    """Enqueue every normal-mode GF channel of one impurity into `batch`
+    (tagged with `site` for multi-impurity batches) and return
+    finalize(results) -> (Gmats, Greal), where results iterates this
+    site's (meta, weights, poles). Splitting enqueue from accumulation
+    lets the lattice solver share one ResolventBatch across inequivalent
+    sites (the reference solves sites serially/round-robin,
+    ED_MAIN.f90:576-678)."""
+    table = sector_table(cfg)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
     Gm, Gr = _gf_shape(cfg, cfg.lmats), _gf_shape(cfg, cfg.lreal)
-    egs = slist.emin
-    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
     def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
@@ -51,7 +63,8 @@ def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
             return
         jsec, vv = r
         batch.add(jsec, vv, e_i,
-                  {"isign": isign, "target": target, "cnorm2": cnorm2})
+                  {"isign": isign, "target": target, "cnorm2": cnorm2,
+                   "site": site}, site=site)
 
     # --- diagonal G_aa channels (lanc_build_gf_normal_c)
     for ispin in range(cfg.nspin):
@@ -90,28 +103,30 @@ def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
                                 [(1.0, ispin, iorb, False),
                                  (-1j, ispin, jorb, False)], -1, tgt, -1j)
 
-    # --- one batched Lanczos per target sector, then pole accumulation
-    for meta, w, p in batch.run():
-        s1, s2, a, b = meta["target"]
-        isign = meta["isign"]
-        Gm[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
-        Gr[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
+    # --- pole accumulation + symmetry reconstruction, deferred until the
+    # shared batch has run (ED_GF_NORMAL.f90:52-71, :580-632)
+    def finalize(results):
+        for meta, w, p in results:
+            s1, s2, a, b = meta["target"]
+            isign = meta["isign"]
+            Gm[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
+            Gr[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
+        if mask is not None:
+            for ispin in range(cfg.nspin):
+                for iorb in range(cfg.norb):
+                    for jorb in range(iorb + 1, cfg.norb):
+                        if not mask[ispin, iorb, jorb]:
+                            continue
+                        for G in (Gm, Gr):
+                            G[ispin, ispin, iorb, jorb] = 0.5 * (
+                                G[ispin, ispin, iorb, jorb]
+                                - (1 - 1j) * G[ispin, ispin, iorb, iorb]
+                                - (1 - 1j) * G[ispin, ispin, jorb, jorb])
+                            G[ispin, ispin, jorb, iorb] = \
+                                G[ispin, ispin, iorb, jorb]
+        return Gm, Gr
 
-    # --- symmetry reconstruction (ED_GF_NORMAL.f90:52-71)
-    if mask is not None:
-        for ispin in range(cfg.nspin):
-            for iorb in range(cfg.norb):
-                for jorb in range(iorb + 1, cfg.norb):
-                    if not mask[ispin, iorb, jorb]:
-                        continue
-                    for G in (Gm, Gr):
-                        G[ispin, ispin, iorb, jorb] = 0.5 * (
-                            G[ispin, ispin, iorb, jorb]
-                            - (1 - 1j) * G[ispin, ispin, iorb, iorb]
-                            - (1 - 1j) * G[ispin, ispin, jorb, jorb])
-                        G[ispin, ispin, jorb, iorb] = \
-                            G[ispin, ispin, iorb, jorb]
-    return Gm, Gr
+    return finalize
 
 
 def _offdiag_mask(cfg: EDConfig, bath: Bath) -> np.ndarray:

@@ -375,3 +375,24 @@ def lanczos_tridiag_op_batched(spec, blocks, arrays, V0, niter: int):
         return _lanczos_tridiag_impl(mv, v0, niter)
 
     return jax.vmap(one)(V0)
+
+
+def lanczos_tridiag_op_stacked(spec, blocks, arrays_stacked, V0, niter: int):
+    """Doubly-vmapped 3-term recurrence over a stack of structurally
+    identical operators: arrays_stacked is the spec's array tuple with a
+    leading group axis [S, ...] (same spec, different values — e.g. the
+    same sector on S inequivalent lattice sites, or S equal-shape
+    sectors), V0 [S, B, dim] -> (alphas [S, B, niter], betas, nsteps).
+    One compiled scan serves every (operator, channel) pair — the sites/
+    sectors axis the reference distributes round-robin over MPI ranks
+    (ED_MAIN.f90:576-678) becomes a device batch axis."""
+    from .hamiltonian import apply_op
+
+    def one(arrays, v0):
+        def mv(x):
+            V = _unflatten_blocks_static(x, blocks)
+            return _flatten_tuple(apply_op(spec, arrays, V))
+        return _lanczos_tridiag_impl(mv, v0, niter)
+
+    return jax.vmap(lambda arrays, vs: jax.vmap(partial(one, arrays))(vs))(
+        arrays_stacked, V0)

@@ -62,12 +62,38 @@ class LatticeEDSolver:
         hlocs = [s.hloc for s in self.solvers]
         slists, zetas, states = diagonalize_sites(
             cfg, ubaths, hlocs, [s.diag_state for s in self.solvers])
-        self.results = []
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
+        gfs = self._batched_gf(ubaths, slists, zetas) \
+            if cfg.ed_mode == "normal" else [None] * self.nineq
+        self.results = []
+        for i, s in enumerate(self.solvers):
             self.results.append(
-                s.solve_from_spectrum(ubaths[i], slists[i], zetas[i]))
+                s.solve_from_spectrum(ubaths[i], slists[i], zetas[i],
+                                      gf=gfs[i]))
         return self.results
+
+    def _batched_gf(self, ubaths, slists, zetas):
+        """Cross-site batched GF pass (normal mode): every site's Krylov
+        resolvents over the same sector run as one stacked device Lanczos
+        (gf_common.ResolventBatch site axis) — the reference's round-robin
+        site distribution (ED_MAIN.f90:576-678) as a vmap axis."""
+        from .gf_common import HamCache, ResolventBatch
+        from .gf_normal import gf_normal_plan
+        cfg = self.cfg
+        batch = ResolventBatch(cfg)
+        finalizers = []
+        for i, s in enumerate(self.solvers):
+            finite_t = cfg.finite_t or s.diag_state.lanc_nstates_total > 1
+            finite_t = finite_t and len(slists[i]) > 1
+            cache = HamCache(cfg, ubaths[i], s.hloc)
+            batch.add_site(i, cache, slists[i].emin, zetas[i], finite_t)
+            finalizers.append(gf_normal_plan(cfg, slists[i], ubaths[i],
+                                             batch, site=i, log=s.log))
+        per_site = [[] for _ in range(self.nineq)]
+        for meta, w, p in batch.run():
+            per_site[meta["site"]].append((meta, w, p))
+        return [fin(per_site[i]) for i, fin in enumerate(finalizers)]
 
     # stacked getters (ed_get_*_lattice, ED_IO)
     def get_sigma_matsubara(self) -> np.ndarray:

@@ -105,9 +105,11 @@ class EDSolver:
                 cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
         return self.solve_from_spectrum(bath, slist, zeta)
 
-    def solve_from_spectrum(self, bath, slist, zeta) -> SolveResult:
+    def solve_from_spectrum(self, bath, slist, zeta, gf=None) -> SolveResult:
         """GF/observables/files pipeline given a precomputed spectrum
-        (used by the site-batched lattice path)."""
+        (used by the site-batched lattice path). `gf`: optional
+        precomputed (Gmats, Greal) from a cross-site batched GF pass
+        (LatticeEDSolver), skipping the per-site Krylov build."""
         cfg = self.cfg
         res = SolveResult()
         finite_t = cfg.finite_t or self.diag_state.lanc_nstates_total > 1
@@ -118,7 +120,7 @@ class EDSolver:
         timers = self.timers
         if cfg.ed_mode == "normal":
             from .gf_normal import build_gf_normal, build_sigma_normal
-            res.gmats, res.greal = build_gf_normal(
+            res.gmats, res.greal = gf if gf is not None else build_gf_normal(
                 cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
             res.smats, res.sreal, res.g0mats, res.g0real = \
                 build_sigma_normal(cfg, bath, self.hloc, res.gmats, res.greal)
