@@ -123,6 +123,62 @@ def gloc_superc_dos(cfg: EDConfig, ebands, dbands, h0, sigma, sigma_an,
     return G, F
 
 
+def gloc_hk_superc(cfg: EDConfig, hk: np.ndarray, sigma, sigma_an,
+                   axis: str = "mats", chunk: int = 128):
+    """Nambu local GF from a k-sum (dmft_gloc_matsubara superc over Hk;
+    the ed_ahm_square / ed_haldane_sc geometry): per (z, k) invert
+
+        M = [[(z+mu)I - H(k) - Σ(z),   -Σᴬ(z)            ],
+             [-Σᴬ(z),   (z-mu)I + H(k)* + Σ̄(z)]]
+
+    with Σ̄(z) = conj(Σ) on the imaginary axis and -conj(Σ(-z)) on the
+    real one (particle-hole conjugation of the Nambu lower block).
+    hk: [Nso, Nso, Nk]; sigma/sigma_an: [Nspin, Nspin, Norb, Norb, L].
+    Returns (G, F) in the same layout."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    L = len(z)
+    sig = sigma.transpose(0, 2, 1, 3, 4).reshape(nso, nso, L)
+    san = sigma_an.transpose(0, 2, 1, 3, 4).reshape(nso, nso, L)
+    if axis == "mats":
+        sig_bar = np.conj(sig)
+    else:
+        sig_bar = -np.conj(sig[:, :, ::-1])
+    G = np.zeros((ns_, ns_, no, no, L), dtype=complex)
+    F = np.zeros_like(G)
+    hkT = jnp.asarray(hk).transpose(2, 0, 1)          # [Nk, nso, nso]
+    hkC = jnp.conj(hkT)
+    eye = jnp.eye(nso)
+
+    @jax.jit
+    def invert(zc, sc, sbc, sac):
+        # zc [Lc]; sc/sbc/sac [Lc, nso, nso]
+        blk11 = (zc + cfg.xmu)[:, None, None, None] * eye \
+            - hkT[None] - sc[:, None]
+        blk22 = (zc - cfg.xmu)[:, None, None, None] * eye \
+            + hkC[None] + sbc[:, None]
+        blk12 = -sac[:, None] * jnp.ones_like(blk11)
+        M = jnp.concatenate([
+            jnp.concatenate([blk11, blk12], axis=-1),
+            jnp.concatenate([blk12, blk22], axis=-1)], axis=-2)
+        Gi = jnp.mean(jnp.linalg.inv(M), axis=1)      # k-sum
+        return Gi[:, :nso, :nso], Gi[:, :nso, nso:]
+
+    for i0 in range(0, L, chunk):
+        zc = jnp.asarray(z[i0:i0 + chunk])
+        sl = slice(i0, i0 + len(zc))
+        Gc, Fc = invert(zc,
+                        jnp.asarray(sig[:, :, sl].transpose(2, 0, 1)),
+                        jnp.asarray(sig_bar[:, :, sl].transpose(2, 0, 1)),
+                        jnp.asarray(san[:, :, sl].transpose(2, 0, 1)))
+        G[..., sl] = np.asarray(Gc).reshape(-1, ns_, no, ns_, no
+                                            ).transpose(1, 3, 2, 4, 0)
+        F[..., sl] = np.asarray(Fc).reshape(-1, ns_, no, ns_, no
+                                            ).transpose(1, 3, 2, 4, 0)
+    return G, F
+
+
 def self_consistency_superc(cfg: EDConfig, gloc, floc, sigma, sigma_an,
                             hloc, sctype: Optional[str] = None):
     """Nambu Weiss/Delta update (dmft_self_consistency superc form used by

@@ -4,6 +4,7 @@ Families:
   hm_bethe            single/multi-band Bethe-lattice Hubbard (canonical)
   hm_bethe_nbands     multi-band Hund alias
   ahm_bethe           attractive-U superconducting Bethe
+  ahm_square          attractive-U square lattice (k-sum Nambu Gloc)
   bhz_2d              BHZ topological insulator (k-space)
   soc                 t2g + atomic L.S (nonsu2 + replica bath)
   kspace              generic k-space loop + square/graphene/haldane/
@@ -15,8 +16,8 @@ Families:
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
-               tblg)
+               tblg, ahm_square)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder", "tblg"]
+           "hm_slab", "ahm_disorder", "tblg", "ahm_square"]

@@ -56,3 +56,45 @@ def test_ahm_bethe_sc_solution(tmp_path, monkeypatch):
     assert abs(r.fmats[0, 0, 0, 0, 0]) > 0.1
     # attractive U: enhanced double occupancy (> uncorrelated 0.25)
     assert r.docc[0] > 0.3
+
+
+def test_gloc_hk_superc_matches_dos_limit():
+    """k-sum Nambu Gloc at a single k-point == DOS integral with a delta
+    DOS at the same energy, on both axes (gloc_hk_superc vs
+    gloc_superc_dos)."""
+    from dmft_ed_tpu.lattice import gloc_hk_superc, gloc_superc_dos
+    cfg = EDConfig(norb=1, nspin=1, nbath=2, ed_mode="superc", beta=40.0,
+                   lmats=40, lreal=30, wini=-3, wfin=3).validate()
+    rng = np.random.default_rng(3)
+    e0 = 0.37
+    hk = np.full((1, 1, 1), e0, dtype=complex)
+    eb = np.array([[e0]])
+    db = np.array([[1.0]])
+    h0 = np.zeros(1)
+    for L, axis in ((cfg.lmats, "mats"), (cfg.lreal, "real")):
+        sig = (rng.normal(size=(1, 1, 1, 1, L))
+               + 1j * rng.normal(size=(1, 1, 1, 1, L)))
+        if axis == "real":
+            # physical causal structure not required for the identity
+            sig = sig + 0.0
+        san = rng.normal(size=(1, 1, 1, 1, L)) + 0j
+        g1, f1 = gloc_hk_superc(cfg, hk, sig, san, axis)
+        g2, f2 = gloc_superc_dos(cfg, eb, db, h0, sig, san, axis)
+        np.testing.assert_allclose(g1, g2, atol=1e-10, err_msg=axis)
+        np.testing.assert_allclose(f1, f2, atol=1e-10, err_msg=axis)
+
+
+@pytest.mark.slow
+def test_ahm_square_sc_phase(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    """ed_ahm_square: attractive U on the square lattice at half filling
+    orders superconductingly."""
+    from dmft_ed_tpu.models import ahm_square
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(-2.0,), ed_mode="superc",
+                   deltasc=0.1, beta=80.0, lmats=200, lreal=40, lfit=200,
+                   nloop=20, dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=2048).validate()
+    r = ahm_square.run(cfg, nk=16, ts=0.25, wmixing=0.5, log=lambda m: None)
+    assert r.error < 1e-3
+    np.testing.assert_allclose(r.dens, [1.0], atol=5e-3)
+    assert r.phisc[0] > 0.05
