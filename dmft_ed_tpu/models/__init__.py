@@ -6,6 +6,7 @@ Families:
   ahm_bethe           attractive-U superconducting Bethe
   ahm_square          attractive-U square lattice (k-sum Nambu Gloc)
   bhz_2d              BHZ topological insulator (k-space)
+  bhz_3d              3D BHZ strong TI (spin-mixed Bloch, normal solver)
   soc                 t2g + atomic L.S (nonsu2 + replica bath)
   kspace              generic k-space loop + square/graphene/haldane/
                       kane-mele Bloch Hamiltonians
@@ -16,8 +17,8 @@ Families:
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
-               tblg, ahm_square)
+               tblg, ahm_square, bhz_3d)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder", "tblg", "ahm_square"]
+           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d"]

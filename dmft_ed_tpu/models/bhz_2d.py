@@ -65,14 +65,18 @@ class BhzResult:
 
 def run(cfg: EDConfig | None = None, nk: int = 20, mh: float = 1.0,
         llambda: float = 0.3, rh: float = 0.0, wmixing: float = 0.5,
-        spinsym: bool = True, log=None) -> BhzResult:
+        spinsym: bool = True, log=None, hk_hloc=None) -> BhzResult:
+    """hk_hloc: optional precomputed (Hk [4,4,Nk], Hloc_so [4,4]) — lets
+    sibling drivers (ed_bhz_3d.f90) reuse this loop with their own Bloch
+    builder."""
     if cfg is None:
         cfg = EDConfig(norb=2, nspin=2, nbath=2, uloc=(1.0, 1.0))
     cfg = cfg.validate()
     assert cfg.norb == 2 and cfg.nspin == 2, "BHZ needs Nspin=Norb=2"
     _log = log if log is not None else (print if cfg.ed_verbose > 0
                                         else lambda *a, **k: None)
-    hk, hloc_so = build_hk_grid(nk, mh, llambda, rh)
+    hk, hloc_so = hk_hloc if hk_hloc is not None \
+        else build_hk_grid(nk, mh, llambda, rh)
     hloc = so2nn(hloc_so, cfg.nspin, cfg.norb)
     solver = EDSolver(cfg, hloc)
     bath = solver.init_solver()

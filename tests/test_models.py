@@ -157,3 +157,30 @@ def test_tblg_dmft_valley_symmetry(rundir):
     assert np.all(np.isfinite(r.dens)) and np.all(np.isfinite(r.docc))
     np.testing.assert_allclose(r.dens[0], r.dens[2], atol=5e-3)
     np.testing.assert_allclose(r.dens[1], r.dens[3], atol=5e-3)
+
+
+def test_bhz_3d_hk_structure():
+    """3D BHZ Bloch builder: hermitian, kz-mixing vanishes in Hloc,
+    gap closes at the topological transition mh = 3 (Gamma point)."""
+    from dmft_ed_tpu.models import bhz_3d
+    hk, hloc = bhz_3d.build_hk_grid_3d(nk=6, mh=1.0, llambda=0.3)
+    np.testing.assert_allclose(hk, hk.conj().transpose(1, 0, 2), atol=1e-12)
+    # Hloc spin-diagonal (kz coupling k-averages out) -> normal-mode solver
+    assert np.all(np.abs(hloc[:2, 2:]) < 1e-12)
+    h_gamma = bhz_3d.hk_bhz_3d(0.0, 0.0, 0.0, mh=3.0, llambda=0.3)
+    ev = np.linalg.eigvalsh(h_gamma)
+    assert np.min(np.abs(ev)) < 1e-12  # gap closing
+
+
+@pytest.mark.slow
+def test_bhz_3d_band_insulator(rundir):
+    from dmft_ed_tpu.models import bhz_3d
+    cfg = EDConfig(norb=2, nspin=2, nbath=2, uloc=(1.0, 1.0), ust=0.5,
+                   beta=100.0, lmats=150, lreal=40, lfit=150, nloop=15,
+                   dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=1200).validate()
+    r = bhz_3d.run(cfg, nk=6, mh=2.0, llambda=0.3, wmixing=0.5,
+                   log=lambda m: None)
+    assert r.error < 1e-3, r.error
+    np.testing.assert_allclose(r.dens.sum(), 2.0, atol=0.02)
+    assert r.dens[1] - r.dens[0] > 0.5
