@@ -269,10 +269,13 @@ def _batched_eigh(H):
     return jnp.linalg.eigh(H)
 
 
-def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None):
+def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
+                      cfgs=None):
     """Batched sector sweep over N inequivalent impurity sites.
 
-    All sites share the sector structure (same cfg); per-sector the dense
+    `cfgs`: optional per-site configs differing only in interaction /
+    level VALUES (e.g. the U stripe modulation of ed_ahm_stripe.f90) —
+    the sector structure must match `cfg`. Per-sector the dense
     Hamiltonians of every site are stacked and diagonalized with ONE batched
     device eigh — the 'sites' data-parallel axis of the design
     (parallel/mesh.py), replacing the reference's round-robin MPI site loop
@@ -282,6 +285,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None):
     Returns (list of StateList, list of zeta, list of DiagState).
     """
     nsites = len(baths)
+    if cfgs is None:
+        cfgs = [cfg] * nsites
     table = sector_table(cfg)
     if states is None:
         states = [None] * nsites
@@ -305,7 +310,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None):
         if dense_ok:
             Hs = np.stack([
                 assemble_dense(build_sector_hamiltonian(
-                    cfg, sec, baths[i], hlocs[i])) for i in range(nsites)])
+                    cfgs[i], sec, baths[i], hlocs[i]))
+                for i in range(nsites)])
             evals_b, evecs_b = _batched_eigh(jnp.asarray(Hs))
             evals_b = np.asarray(evals_b)
             for i in range(nsites):
@@ -315,7 +321,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None):
                          finite_t, states[i], oldzero, i)
         else:
             for i in range(nsites):
-                ham = build_sector_hamiltonian(cfg, sec, baths[i], hlocs[i])
+                ham = build_sector_hamiltonian(cfgs[i], sec, baths[i],
+                                               hlocs[i])
                 evals, evecs = _solve_sector_lanczos(cfg, ham, neigen[i],
                                                      rng)
                 _collect(cfg, table, slists[i], sec, evals, evecs,

@@ -602,6 +602,76 @@ def gloc_hk_lattice(cfg: EDConfig, hk: np.ndarray, sigma_lat: np.ndarray,
     return out
 
 
+def gloc_hk_lattice_superc(cfg: EDConfig, hk: np.ndarray,
+                           sigma_lat: np.ndarray, sigma_an_lat: np.ndarray,
+                           axis: str = "mats", chunk: int = 32):
+    """Site-resolved Nambu local GF with k dispersion (the ed_ahm_stripe
+    supercell geometry: a [Nlat*Nso, Nlat*Nso, Nk] Bloch Hamiltonian over
+    the reduced BZ with site-block-diagonal Σ, Σᴬ). Per (z, k) inverts
+
+        M = [[(z+mu)I - H(k) - Σ,  -Σᴬ          ],
+             [-Σᴬ,   (z-mu)I + H(k)* + Σ̄]]
+
+    and k-averages; Σ̄ as in gloc_hk_superc. Returns (G, F) site-diagonal
+    blocks [Nlat, Nspin, Nspin, Norb, Norb, L]."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    L = len(z)
+    sig = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    san = sigma_an_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    if axis == "mats":
+        sig_bar = np.conj(sig)
+    else:
+        sig_bar = -np.conj(sig[..., ::-1])
+    G = np.zeros((nlat, ns_, ns_, no, no, L), dtype=complex)
+    F = np.zeros_like(G)
+    hkT = jnp.asarray(hk).transpose(2, 0, 1)
+    hkC = jnp.conj(hkT)
+    eye = jnp.eye(nlso)
+
+    def embed(sc):
+        # [Lc, nlat, nso, nso] -> [Lc, nlso, nlso] block diagonal
+        Lc = sc.shape[0]
+        S = jnp.zeros((Lc, nlso, nlso), dtype=jnp.complex128)
+        for i in range(nlat):
+            S = S.at[:, i * nso:(i + 1) * nso, i * nso:(i + 1) * nso].set(
+                sc[:, i])
+        return S
+
+    @jax.jit
+    def invert(zc, sc, sbc, sac):
+        S, Sb, SA = embed(sc), embed(sbc), embed(sac)
+        blk11 = (zc + cfg.xmu)[:, None, None, None] * eye \
+            - hkT[None] - S[:, None]
+        blk22 = (zc - cfg.xmu)[:, None, None, None] * eye \
+            + hkC[None] + Sb[:, None]
+        blk12 = -jnp.broadcast_to(SA[:, None], blk11.shape)
+        M = jnp.concatenate([
+            jnp.concatenate([blk11, blk12], axis=-1),
+            jnp.concatenate([blk12, blk22], axis=-1)], axis=-2)
+        Gi = jnp.mean(jnp.linalg.inv(M), axis=1)
+        return Gi[:, :nlso, :nlso], Gi[:, :nlso, nlso:]
+
+    for i0 in range(0, L, chunk):
+        zc = jnp.asarray(z[i0:i0 + chunk])
+        sl = slice(i0, i0 + len(zc))
+        Gc, Fc = invert(zc,
+                        jnp.asarray(sig[..., sl].transpose(3, 0, 1, 2)),
+                        jnp.asarray(sig_bar[..., sl].transpose(3, 0, 1, 2)),
+                        jnp.asarray(san[..., sl].transpose(3, 0, 1, 2)))
+        Gc, Fc = np.asarray(Gc), np.asarray(Fc)
+        for i in range(nlat):
+            blo = slice(i * nso, (i + 1) * nso)
+            G[i, ..., sl] = Gc[:, blo, blo].reshape(
+                -1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+            F[i, ..., sl] = Fc[:, blo, blo].reshape(
+                -1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+    return G, F
+
+
 def gloc_realspace_superc(cfg: EDConfig, hij: np.ndarray,
                           sigma_lat: np.ndarray, sigma_an_lat: np.ndarray,
                           axis: str = "mats", chunk: int = 32):

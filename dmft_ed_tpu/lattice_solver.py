@@ -26,11 +26,17 @@ class LatticeEDSolver:
     hloc_ineq: [Nineq, Nspin, Nspin, Norb, Norb].
     """
 
-    def __init__(self, cfg: EDConfig, hloc_ineq: np.ndarray, log=None):
+    def __init__(self, cfg: EDConfig, hloc_ineq: np.ndarray, log=None,
+                 cfgs=None):
+        """cfgs: optional per-site configs (same sector structure as cfg,
+        different interaction/level values — ed_ahm_stripe.f90's periodic
+        U modulation)."""
         self.cfg = cfg
         self.nineq = hloc_ineq.shape[0]
+        self.cfgs = list(cfgs) if cfgs is not None else [cfg] * self.nineq
         self.solvers: List[EDSolver] = [
-            EDSolver(cfg, hloc_ineq[i], suffix=f"_ineq{i + 1:04d}", log=log)
+            EDSolver(self.cfgs[i], hloc_ineq[i], suffix=f"_ineq{i + 1:04d}",
+                     log=log)
             for i in range(self.nineq)]
         self.results: Optional[List[SolveResult]] = None
 
@@ -61,7 +67,8 @@ class LatticeEDSolver:
                   for i in range(self.nineq)]
         hlocs = [s.hloc for s in self.solvers]
         slists, zetas, states = diagonalize_sites(
-            cfg, ubaths, hlocs, [s.diag_state for s in self.solvers])
+            cfg, ubaths, hlocs, [s.diag_state for s in self.solvers],
+            cfgs=self.cfgs)
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
         gfs = self._batched_gf(ubaths, slists, zetas) \
@@ -86,7 +93,7 @@ class LatticeEDSolver:
         for i, s in enumerate(self.solvers):
             finite_t = cfg.finite_t or s.diag_state.lanc_nstates_total > 1
             finite_t = finite_t and len(slists[i]) > 1
-            cache = HamCache(cfg, ubaths[i], s.hloc)
+            cache = HamCache(self.cfgs[i], ubaths[i], s.hloc)
             batch.add_site(i, cache, slists[i].emin, zetas[i], finite_t)
             finalizers.append(gf_normal_plan(cfg, slists[i], ubaths[i],
                                              batch, site=i, log=s.log))

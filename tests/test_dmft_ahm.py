@@ -98,3 +98,39 @@ def test_ahm_square_sc_phase(tmp_path, monkeypatch):
     assert r.error < 1e-3
     np.testing.assert_allclose(r.dens, [1.0], atol=5e-3)
     assert r.phisc[0] > 0.05
+
+
+def test_stripe_hk_limits():
+    """Supercell Bloch builder: hermitian; 1x1 supercell reproduces the
+    plain square-lattice band; the k-mean keeps exactly the intra-cell
+    (open-boundary flake) bonds — wrapped bonds average to zero."""
+    from dmft_ed_tpu.models.ahm_stripe import stripe_hk
+    from dmft_ed_tpu.models.nano import square_flake_hij
+    hk = stripe_hk(2, 2, nk=6, t=0.3)
+    np.testing.assert_allclose(hk, hk.conj().transpose(1, 0, 2), atol=1e-12)
+    flake, _ = square_flake_hij(2, 2, t=0.3, pbc=False)
+    np.testing.assert_allclose(hk.mean(-1), flake, atol=1e-12)
+    hk1 = stripe_hk(1, 1, nk=8, t=0.3)[0, 0]
+    ks = np.linspace(-np.pi, np.pi, 8, endpoint=False)
+    eps = np.array([-2 * 0.3 * (np.cos(kx) + np.cos(ky))
+                    for kx in ks for ky in ks])
+    np.testing.assert_allclose(np.sort(hk1.real), np.sort(eps), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_ahm_stripe_u_modulated_sc(tmp_path, monkeypatch):
+    """ed_ahm_stripe: the strong-U stripe orders more strongly than the
+    weak-U stripe; per-site U flows through the batched site sweep."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.models import ahm_stripe
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(-3.0,), ed_mode="superc",
+                   deltasc=0.1, beta=60.0, lmats=150, lreal=30, lfit=150,
+                   nloop=12, dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=2048).validate()
+    r = ahm_stripe.run(cfg, lx=2, ly=1, nk=8, ts=0.25, wmixing=0.5,
+                       log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=0.02)
+    # site 0 has U=-3, site 1 has U=-1.5: stronger pairing on site 0
+    assert r.phisc[0] > r.phisc[1] > 0.0
+    assert r.docc[0] > r.docc[1]
