@@ -134,3 +134,21 @@ def test_ahm_stripe_u_modulated_sc(tmp_path, monkeypatch):
     # site 0 has U=-3, site 1 has U=-1.5: stronger pairing on site 0
     assert r.phisc[0] > r.phisc[1] > 0.0
     assert r.docc[0] > r.docc[1]
+
+
+@pytest.mark.slow
+def test_haldane_sc_sublattice_symmetry(tmp_path, monkeypatch):
+    """ed_haldane_sc: attractive U on the honeycomb lattice; with mass=0
+    the two sublattices are equivalent and both order."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.models import haldane_sc
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(-2.5,), ed_mode="superc",
+                   deltasc=0.1, beta=60.0, lmats=150, lreal=30, lfit=150,
+                   nloop=12, dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=2048).validate()
+    r = haldane_sc.run(cfg, nk=9, t1=0.5, wmixing=0.5, log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=0.02)
+    # Dirac semimetal at half filling: condensate is small but finite
+    assert np.all(r.phisc > 0.005)
+    np.testing.assert_allclose(r.phisc[0], r.phisc[1], atol=1e-4)
