@@ -184,3 +184,21 @@ def test_bhz_3d_band_insulator(rundir):
     assert r.error < 1e-3, r.error
     np.testing.assert_allclose(r.dens.sum(), 2.0, atol=0.02)
     assert r.dens[1] - r.dens[0] > 0.5
+
+
+@pytest.mark.slow
+def test_graphene_afm_neel(rundir):
+    """ed_graphene_afm: honeycomb Neel order — staggered magnetization
+    with exact sublattice antisymmetry at large U."""
+    from dmft_ed_tpu.models import kspace_afm
+    cfg = EDConfig(norb=1, nbath=4, nspin=2, uloc=(4.0,), beta=100.0,
+                   sb_field=0.1, lmats=200, lreal=30, lfit=200, nloop=25,
+                   dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=4096).validate()
+    r = kspace_afm.run_graphene(cfg, nk=9, t=0.5, wmixing=0.6,
+                                log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=1e-2)
+    m = r.magz[:, 0]
+    assert abs(m[0]) > 0.5
+    np.testing.assert_allclose(m[0], -m[1], atol=1e-2)
