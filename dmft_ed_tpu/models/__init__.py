@@ -8,6 +8,7 @@ Families:
   ahm_stripe          periodic-U stripe supercell (per-site U, Nambu k-sum)
   haldane_sc          attractive-U Haldane model (2-sublattice Nambu k-sum)
   kspace_afm          2-sublattice Neel DMFT over any Bloch Hk (graphene/square)
+  material            H(k)-file driven DMFT (ed_STO/ed_LVO/ed_SIO class)
   bhz_2d              BHZ topological insulator (k-space)
   bhz_3d              3D BHZ strong TI (spin-mixed Bloch, normal solver)
   soc                 t2g + atomic L.S (nonsu2 + replica bath)
@@ -21,8 +22,8 @@ Families:
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
                tblg, ahm_square, bhz_3d, ahm_stripe, haldane_sc,
-               kspace_afm)
+               kspace_afm, material)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d", "ahm_stripe", "haldane_sc", "kspace_afm"]
+           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d", "ahm_stripe", "haldane_sc", "kspace_afm", "material"]

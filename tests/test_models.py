@@ -202,3 +202,34 @@ def test_graphene_afm_neel(rundir):
     m = r.magz[:, 0]
     assert abs(m[0]) > 0.5
     np.testing.assert_allclose(m[0], -m[1], atol=1e-2)
+
+
+def test_hk_w90_file_roundtrip(rundir):
+    from dmft_ed_tpu.models import material, bhz_2d
+    hk, _ = bhz_2d.build_hk_grid(4, mh=1.0, llambda=0.3)
+    ks = np.linspace(-np.pi, np.pi, 4, endpoint=False)
+    kpts = np.array([[kx, ky, 0.0] for kx in ks for ky in ks])
+    material.write_hk_w90("hkfile.in", hk, kpts, nd=4)
+    hk2, kpts2, hdr = material.read_hk_w90("hkfile.in")
+    np.testing.assert_allclose(hk, hk2, atol=1e-10)
+    np.testing.assert_allclose(kpts, kpts2, atol=1e-10)
+    assert hdr[0] == 16
+
+
+@pytest.mark.slow
+def test_material_driver_matches_bhz(rundir):
+    """ed_STO-class flow: the hkfile-driven driver reproduces the analytic
+    BHZ driver's converged observables from the same H(k)."""
+    from dmft_ed_tpu.models import material, bhz_2d
+    hk, _ = bhz_2d.build_hk_grid(8, mh=1.0, llambda=0.3)
+    ks = np.linspace(-np.pi, np.pi, 8, endpoint=False)
+    kpts = np.array([[kx, ky, 0.0] for kx in ks for ky in ks])
+    material.write_hk_w90("hkfile.in", hk, kpts, nd=4)
+    cfg = EDConfig(norb=2, nspin=2, nbath=2, uloc=(1.0, 1.0), ust=0.5,
+                   beta=100.0, lmats=150, lreal=40, lfit=150, nloop=15,
+                   dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=1200).validate()
+    r1 = material.run(cfg, "hkfile.in", log=lambda m: None)
+    r2 = bhz_2d.run(cfg, nk=8, mh=1.0, llambda=0.3, log=lambda m: None)
+    assert r1.converged
+    np.testing.assert_allclose(r1.dens, r2.dens, atol=1e-3)
