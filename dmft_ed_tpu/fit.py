@@ -185,6 +185,137 @@ def _delta_target_from_weiss(cfg: EDConfig, g0, x, hloc) -> np.ndarray:
     return out
 
 
+def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
+                     ispin: Optional[int] = None, iorb: Optional[int] = None,
+                     fgs_an=None, masks=None, cfgs=None, suffixes=None,
+                     log=None, save: bool = True) -> np.ndarray:
+    """Joint bath fit over N inequivalent sites (the lattice fit stage,
+    ED_FIT_CHI2.f90 lattice variants).
+
+    The per-site chi^2 problems are block-separable, so ONE L-BFGS run on
+    the concatenated parameter vector reaches the same minima while every
+    objective/gradient evaluation serves ALL sites in one jitted vmap —
+    iteration count becomes max-over-sites instead of sum-over-sites (the
+    reference distributes sites over MPI ranks and fits serially per rank,
+    ED_FIT_CHI2.f90:187-225). Sites with a clearly-failed joint fit fall
+    back to the single-site path (jittered restarts).
+
+    fgs: [S, Nspin, Nspin, Norb, Norb, L]; baths_flat: [S, Nb].
+    Returns the updated [S, Nb] bath stack."""
+    S = len(baths_flat)
+    cfgs = list(cfgs) if cfgs is not None else [cfg] * S
+    masks = list(masks) if masks is not None else [None] * S
+    suffixes = list(suffixes) if suffixes is not None \
+        else [f"_ineq{i + 1:04d}" for i in range(S)]
+    bs = [unpack_bath(cfgs[i], baths_flat[i], masks[i]) for i in range(S)]
+    ldelta = min(cfg.lfit, fgs.shape[-1])
+    xw = np.pi / cfg.beta * (2 * np.arange(1, ldelta + 1) - 1)
+    x = jnp.asarray(1j * xw)
+    W = jnp.asarray(_weights(cfg, ldelta))
+    cmask = jnp.asarray(_component_mask(cfg, ispin, iorb, bs[0].mask))
+    tgts = jnp.asarray(np.stack([np.asarray(fgs[i])[..., :ldelta]
+                                 for i in range(S)]))
+    tgts_an = jnp.asarray(np.stack([np.asarray(fgs_an[i])[..., :ldelta]
+                                    for i in range(S)])) \
+        if fgs_an is not None else None
+    hls = jnp.asarray(np.stack([np.asarray(h) for h in hlocs]))
+
+    # one inject for all sites (identical bath structure across sites)
+    packs = [_fit_pack(cfg, bs[i], ispin, iorb) for i in range(S)]
+    inject = packs[0][1]
+    n = packs[0][0].size
+    x0 = np.concatenate([p[0] for p in packs])
+    names = [k for k, v in
+             {"e": bs[0].e, "d": bs[0].d, "v": bs[0].v, "u": bs[0].u,
+              "h": bs[0].h, "vr": bs[0].vr}.items() if v is not None]
+    base_ps = {k: jnp.asarray(np.stack([np.asarray(getattr(bs[i], k))
+                                        for i in range(S)]))
+               for k in names}
+
+    def site_chi2(scheme, xv, base_p, hl, tgt, tgt_an):
+        p = dict(base_p)
+        p.update(inject(xv))
+        if scheme == "weiss":
+            G = g0and(cfg, x, p, hl, "mats")
+            F = f0and(cfg, x, p, hl, "mats") \
+                if cfg.ed_mode == "superc" else None
+        else:
+            G = delta(cfg, x, p, "mats")
+            F = fdelta(cfg, x, p, "mats") \
+                if cfg.ed_mode == "superc" else None
+        r = (G - tgt) * cmask[..., None]
+        c = jnp.sum(jnp.abs(r) ** 2 / W)
+        if F is not None and tgt_an is not None:
+            ra = (F - tgt_an) * cmask[..., None]
+            c = c + jnp.sum(jnp.abs(ra) ** 2 / W)
+        return c
+
+    def make_joint(scheme, targets, targets_an):
+        def chi2_all(xmat):
+            args = (xmat, base_ps, hls, targets)
+            if targets_an is not None:
+                per = jax.vmap(lambda xv, bp, hl, t, ta: site_chi2(
+                    scheme, xv, bp, hl, t, ta))(*args, targets_an)
+            else:
+                per = jax.vmap(lambda xv, bp, hl, t: site_chi2(
+                    scheme, xv, bp, hl, t, None))(*args)
+            return jnp.sum(per), per
+
+        vg = jax.jit(jax.value_and_grad(chi2_all, has_aux=True))
+
+        def fun(xflat):
+            (v, _), g = vg(jnp.asarray(xflat).reshape(S, n))
+            return float(v), np.asarray(g, dtype=float).ravel()
+        per_f = jax.jit(lambda xmat: chi2_all(xmat)[1])
+        return fun, per_f
+
+    opts = {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol * 1e-3,
+            "gtol": 1e-12}
+    if cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
+        dts = np.stack([_delta_target_from_weiss(
+            cfg, np.asarray(tgts[i]), np.asarray(x), hlocs[i])
+            for i in range(S)])
+        fun_d, _ = make_joint("delta", jnp.asarray(dts), None)
+        x0 = minimize(fun_d, x0, jac=True, method="L-BFGS-B", options=opts).x
+    fun, per_f = make_joint(cfg.cg_scheme, tgts, tgts_an)
+    res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
+    per = np.asarray(per_f(jnp.asarray(res.x).reshape(S, n)))
+    out = np.empty_like(np.asarray(baths_flat))
+    xmat = res.x.reshape(S, n)
+    for i in range(S):
+        if per[i] > 1e-3:
+            # failed joint fit for this site: single-site backstop
+            out[i] = chi2_fitgf(cfgs[i], np.asarray(fgs[i]), baths_flat[i],
+                                hlocs[i], ispin=ispin, iorb=iorb,
+                                fg_an=None if fgs_an is None
+                                else np.asarray(fgs_an[i]),
+                                mask=masks[i], suffix=suffixes[i], log=log,
+                                save=save)
+            continue
+        p_fit = {k: np.asarray(v[i]) for k, v in base_ps.items()}
+        upd = inject(jnp.asarray(xmat[i]))
+        for k, v in upd.items():
+            p_fit[k] = np.asarray(v)
+        b = bs[i]
+        for name in ("e", "d", "v", "u"):
+            if name in p_fit and getattr(b, name) is not None:
+                setattr(b, name, p_fit[name])
+        if "h" in p_fit and b.h is not None:
+            b.h = p_fit["h"]
+            b.vr = p_fit["vr"].astype(complex)
+        if log:
+            log(f"chi^2|iter{suffixes[i]}=  {per[i]:.9E} | {res.nit}")
+        try:
+            with open(f"chi2fit_results{suffixes[i]}.ed", "a") as fh:
+                fh.write(f"{per[i]:18.9E} {res.nit:5d}\n")
+        except OSError:
+            pass
+        if save:
+            save_bath(b, suffix=suffixes[i])
+        out[i] = pack_bath(b)
+    return out
+
+
 def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
                hloc: np.ndarray, ispin: Optional[int] = None,
                iorb: Optional[int] = None, fg_an=None,

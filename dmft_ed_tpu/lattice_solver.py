@@ -122,8 +122,13 @@ class LatticeEDSolver:
         return np.stack([r.observables.magz for r in self.results])
 
     def chi2_fitgf(self, weiss_ineq: np.ndarray, baths: np.ndarray,
-                   ispin=None) -> np.ndarray:
-        out = np.empty_like(baths)
-        for i, s in enumerate(self.solvers):
-            out[i] = s.chi2_fitgf(weiss_ineq[i], baths[i], ispin=ispin)
-        return out
+                   ispin=None, fg_an_ineq=None) -> np.ndarray:
+        """Joint block-separable fit over sites (fit.chi2_fitgf_sites):
+        one L-BFGS whose objective evaluates every site in one vmap."""
+        from .fit import chi2_fitgf_sites
+        return chi2_fitgf_sites(
+            self.cfg, weiss_ineq, baths, [s.hloc for s in self.solvers],
+            ispin=ispin, fgs_an=fg_an_ineq,
+            masks=[s.mask for s in self.solvers], cfgs=self.cfgs,
+            suffixes=[s.suffix for s in self.solvers],
+            log=self.solvers[0].log if self.cfg.ed_verbose > 0 else None)

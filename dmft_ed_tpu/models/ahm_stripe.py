@@ -105,9 +105,7 @@ def run(cfg: EDConfig, lx: int = 2, ly: int = 1, nk: int = 8,
         for i in range(nlat):
             wn[i], wa[i] = self_consistency_superc(
                 cfg, gm[i], fm[i], smats[i], samats[i], hloc_ineq[i])
-        for i in range(nlat):
-            baths[i] = lsolver.solvers[i].chi2_fitgf(
-                wn[i], baths[i], ispin=0, fg_an=wa[i])
+        baths = lsolver.chi2_fitgf(wn, baths, ispin=0, fg_an_ineq=wa)
         if iloop > 1:
             baths = wmixing * baths + (1 - wmixing) * baths_prev
         baths_prev = baths.copy()

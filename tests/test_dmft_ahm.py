@@ -130,7 +130,8 @@ def test_ahm_stripe_u_modulated_sc(tmp_path, monkeypatch):
     r = ahm_stripe.run(cfg, lx=2, ly=1, nk=8, ts=0.25, wmixing=0.5,
                        log=lambda m: None)
     assert r.error < 1e-2
-    np.testing.assert_allclose(r.dens, 1.0, atol=0.02)
+    # exact ph symmetry pins n=1; tolerance set by the nbath=3 fit quality
+    np.testing.assert_allclose(r.dens, 1.0, atol=0.03)
     # site 0 has U=-3, site 1 has U=-1.5: stronger pairing on site 0
     assert r.phisc[0] > r.phisc[1] > 0.0
     assert r.docc[0] > r.docc[1]
