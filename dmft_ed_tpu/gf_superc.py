@@ -28,8 +28,19 @@ def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
     """Returns (Gmats, Greal, Fmats, Freal); all channels batched per
     target sector (gf_common.ResolventBatch)."""
     from .gf_common import ResolventBatch
-    table = sector_table(cfg)
     cache = HamCache(cfg, bath, hloc)
+    batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
+    finalize = gf_superc_plan(cfg, slist, batch, site=0, log=log)
+    return finalize(batch.run())
+
+
+def gf_superc_plan(cfg: EDConfig, slist: StateList, batch, site: int = 0,
+                   log=None):
+    """Enqueue the 3-auxiliary-channel superc GF build of one impurity into
+    `batch` (tagged with `site`) and return finalize(results) ->
+    (Gmats, Greal, Fmats, Freal) — the cross-site split mirroring
+    gf_normal_plan."""
+    table = sector_table(cfg)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
     shape_m = (cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lmats)
     shape_r = (cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lreal)
@@ -41,8 +52,6 @@ def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
     auxr = np.zeros((3, cfg.norb, cfg.lreal), dtype=complex)
     mixm = np.zeros((cfg.norb, cfg.norb, cfg.lmats), dtype=complex)
     mixr = np.zeros((cfg.norb, cfg.norb, cfg.lreal), dtype=complex)
-    egs = slist.emin
-    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
     def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
@@ -50,7 +59,8 @@ def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
             return
         jsec, vv = r
         batch.add(jsec, vv, e_i,
-                  {"isign": isign, "target": target, "cnorm2": cnorm2})
+                  {"isign": isign, "target": target, "cnorm2": cnorm2,
+                   "site": site}, site=site)
 
     for a in range(cfg.norb):
         if log:
@@ -87,35 +97,38 @@ def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
                             [(1.0, 0, a, False), (-1j, 1, b, True)], -1, tgt,
                             -1j)
 
-    for meta, w, p in batch.run():
-        isign = meta["isign"]
-        kind = meta["target"][0]
-        if kind == "aux":
-            _, ch, a = meta["target"]
-            auxm[ch, a] += accumulate_poles(zm, w, p, isign)
-            auxr[ch, a] += accumulate_poles(zr, w, p, isign)
-        else:
-            _, a, b = meta["target"]
-            mixm[a, b] += accumulate_poles(zm, w, p, isign)
-            mixr[a, b] += accumulate_poles(zr, w, p, isign)
+    def finalize(results):
+        for meta, w, p in results:
+            isign = meta["isign"]
+            kind = meta["target"][0]
+            if kind == "aux":
+                _, ch, a = meta["target"]
+                auxm[ch, a] += accumulate_poles(zm, w, p, isign)
+                auxr[ch, a] += accumulate_poles(zr, w, p, isign)
+            else:
+                _, a, b = meta["target"]
+                mixm[a, b] += accumulate_poles(zm, w, p, isign)
+                mixr[a, b] += accumulate_poles(zr, w, p, isign)
 
-    for a in range(cfg.norb):
-        Gm[0, 0, a, a] = auxm[0, a]
-        Gr[0, 0, a, a] = auxr[0, a]
-        Fm[0, 0, a, a] = 0.5 * (auxm[2, a] - auxm[0, a] - auxm[1, a])
-        Fr[0, 0, a, a] = 0.5 * (auxr[2, a] - auxr[0, a] - auxr[1, a])
-    if cfg.bath_type == "hybrid" and cfg.norb > 1:
         for a in range(cfg.norb):
-            for b in range(a + 1, cfg.norb):
-                Gm[0, 0, a, b] = mixm[a, b]
-                Gr[0, 0, a, b] = mixr[a, b]
-                Fm[0, 0, a, b] = 0.5 * (mixm[a, b]
-                                        - (1 - 1j) * Gm[0, 0, a, a]
-                                        - (1 - 1j) * auxm[1, b])
-                Fr[0, 0, a, b] = 0.5 * (mixr[a, b]
-                                        - (1 - 1j) * Gr[0, 0, a, a]
-                                        - (1 - 1j) * auxr[1, b])
-    return Gm, Gr, Fm, Fr
+            Gm[0, 0, a, a] = auxm[0, a]
+            Gr[0, 0, a, a] = auxr[0, a]
+            Fm[0, 0, a, a] = 0.5 * (auxm[2, a] - auxm[0, a] - auxm[1, a])
+            Fr[0, 0, a, a] = 0.5 * (auxr[2, a] - auxr[0, a] - auxr[1, a])
+        if cfg.bath_type == "hybrid" and cfg.norb > 1:
+            for a in range(cfg.norb):
+                for b in range(a + 1, cfg.norb):
+                    Gm[0, 0, a, b] = mixm[a, b]
+                    Gr[0, 0, a, b] = mixr[a, b]
+                    Fm[0, 0, a, b] = 0.5 * (mixm[a, b]
+                                            - (1 - 1j) * Gm[0, 0, a, a]
+                                            - (1 - 1j) * auxm[1, b])
+                    Fr[0, 0, a, b] = 0.5 * (mixr[a, b]
+                                            - (1 - 1j) * Gr[0, 0, a, a]
+                                            - (1 - 1j) * auxr[1, b])
+        return Gm, Gr, Fm, Fr
+
+    return finalize
 
 
 def build_sigma_superc(cfg: EDConfig, bath: Bath, hloc: np.ndarray,

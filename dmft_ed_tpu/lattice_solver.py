@@ -72,7 +72,7 @@ class LatticeEDSolver:
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
         gfs = self._batched_gf(ubaths, slists, zetas) \
-            if cfg.ed_mode == "normal" else [None] * self.nineq
+            if cfg.ed_mode in ("normal", "superc") else [None] * self.nineq
         self.results = []
         for i, s in enumerate(self.solvers):
             self.results.append(
@@ -87,6 +87,7 @@ class LatticeEDSolver:
         site distribution (ED_MAIN.f90:576-678) as a vmap axis."""
         from .gf_common import HamCache, ResolventBatch
         from .gf_normal import gf_normal_plan
+        from .gf_superc import gf_superc_plan
         cfg = self.cfg
         batch = ResolventBatch(cfg)
         finalizers = []
@@ -95,8 +96,12 @@ class LatticeEDSolver:
             finite_t = finite_t and len(slists[i]) > 1
             cache = HamCache(self.cfgs[i], ubaths[i], s.hloc)
             batch.add_site(i, cache, slists[i].emin, zetas[i], finite_t)
-            finalizers.append(gf_normal_plan(cfg, slists[i], ubaths[i],
-                                             batch, site=i, log=s.log))
+            if cfg.ed_mode == "superc":
+                finalizers.append(gf_superc_plan(cfg, slists[i], batch,
+                                                 site=i, log=s.log))
+            else:
+                finalizers.append(gf_normal_plan(cfg, slists[i], ubaths[i],
+                                                 batch, site=i, log=s.log))
         per_site = [[] for _ in range(self.nineq)]
         for meta, w, p in batch.run():
             per_site[meta["site"]].append((meta, w, p))

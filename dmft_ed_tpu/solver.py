@@ -126,8 +126,9 @@ class EDSolver:
                 build_sigma_normal(cfg, bath, self.hloc, res.gmats, res.greal)
         elif cfg.ed_mode == "superc":
             from .gf_superc import build_gf_superc, build_sigma_superc
-            (res.gmats, res.greal, res.fmats, res.freal) = build_gf_superc(
-                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+            (res.gmats, res.greal, res.fmats, res.freal) = \
+                gf if gf is not None else build_gf_superc(
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
             (res.smats, res.sreal, res.smats_an, res.sreal_an,
              res.g0mats, res.g0real, res.f0mats, res.f0real) = \
                 build_sigma_superc(cfg, bath, self.hloc, res.gmats, res.greal,
