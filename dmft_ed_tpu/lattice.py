@@ -602,6 +602,45 @@ def gloc_hk_lattice(cfg: EDConfig, hk: np.ndarray, sigma_lat: np.ndarray,
     return out
 
 
+def chi0_ij_static(cfg: EDConfig, gij_mats: np.ndarray) -> np.ndarray:
+    """Bare static susceptibility per spin from the non-local Matsubara GF
+    (drivers/chi0_lattice.f90:ed_get_chi0ij):
+
+        chi0_ij = -(1/β) Σ_n Tr_orb[ G_ij(iωₙ) G_ji(iωₙ) ]
+
+    with the exact 1/ωₙ² tail resummed analytically beyond the stored
+    frequencies (G_ij → δ_ij/(iω) ⇒ Σ_all 1/ωₙ² = β²/4). gij_mats:
+    [Nlat, Nlat, Nspin, Nspin, Norb, Norb, L]; returns chi0 [Nspin, Nlat,
+    Nlat] (spin-diagonal bubble, one entry per spin channel)."""
+    nlat = gij_mats.shape[0]
+    ns_, no = cfg.nspin, cfg.norb
+    L = gij_mats.shape[-1]
+    wn = np.pi / cfg.beta * (2 * np.arange(1, L + 1) - 1)
+    chi0 = np.zeros((ns_, nlat, nlat))
+    for s in range(ns_):
+        g = gij_mats[:, :, s, s]                        # [Nlat,Nlat,no,no,L]
+        # Tr_orb[G_ij G_ji] summed over positive freqs (x2 Re for ±n)
+        gg = np.einsum("ijabl,jibal->ijl", g, g)
+        chi0[s] = -(2.0 / cfg.beta) * np.sum(gg.real, axis=-1)
+    # analytic tail: diagonal 1/(iω)^2 term beyond the stored frequencies
+    tail = (1.0 / cfg.beta) * (cfg.beta ** 2 / 4.0 - 2.0 * np.sum(1 / wn ** 2))
+    for s in range(ns_):
+        chi0[s] += no * tail * np.eye(nlat)
+    return chi0
+
+
+def chi0_q_static(cfg: EDConfig, gij_mats: np.ndarray,
+                  positions: np.ndarray, qpts: np.ndarray) -> np.ndarray:
+    """chi0(q) = Σ_ij e^{-i q·(R_i - R_j)} chi0_ij / Nlat on arbitrary q
+    points (the q-resolved output of chi0_lattice.f90). Returns
+    [Nspin, Nq]."""
+    chi0 = chi0_ij_static(cfg, gij_mats)
+    nlat = positions.shape[0]
+    dr = positions[:, None, :] - positions[None, :, :]   # [i, j, dim]
+    ph = np.exp(-1j * np.einsum("qd,ijd->qij", qpts, dr))
+    return np.einsum("qij,sij->sq", ph, chi0).real / nlat
+
+
 def gloc_hk_lattice_superc(cfg: EDConfig, hk: np.ndarray,
                            sigma_lat: np.ndarray, sigma_an_lat: np.ndarray,
                            axis: str = "mats", chunk: int = 32):

@@ -82,3 +82,42 @@ def test_transmission_resonant_level():
     T_exact = gamma ** 2 / (w ** 2 + gamma ** 2)
     np.testing.assert_allclose(T, T_exact, atol=1e-4)
     assert abs(T[cfg.lreal // 2] - 1.0) < 1e-4
+
+
+def test_chi0_static_vs_lindhard():
+    """chi0_ij from the Matsubara bubble (chi0_lattice.f90 contract) ==
+    exact Lindhard function of a noninteracting ring, including the
+    degenerate-level -beta*f' term."""
+    from dmft_ed_tpu.lattice import chi0_ij_static, chi0_q_static
+    from dmft_ed_tpu.config import EDConfig
+    n, t, beta = 6, 0.5, 20.0
+    cfg = EDConfig(norb=1, nspin=1, nbath=1, beta=beta, lmats=4000).validate()
+    H = np.zeros((n, n))
+    for i in range(n):
+        H[i, (i + 1) % n] = H[(i + 1) % n, i] = -t
+    evals, U = np.linalg.eigh(H)
+    # Matsubara Gij
+    wn = np.pi / beta * (2 * np.arange(1, cfg.lmats + 1) - 1)
+    z = 1j * wn
+    g_eig = 1.0 / (z[None, :] - evals[:, None])
+    gij = np.einsum("im,ml,jm->ijl", U, g_eig, U.conj())
+    gij7 = gij[:, :, None, None, None, None, :]
+    chi0 = chi0_ij_static(cfg, gij7)[0]
+    # exact Lindhard: chi_ij = -sum_mn w_mn psi products
+    f = 1.0 / (np.exp(beta * evals) + 1.0)
+    wmn = np.zeros((n, n))
+    for m in range(n):
+        for nn in range(n):
+            de = evals[nn] - evals[m]
+            if abs(de) > 1e-12:
+                wmn[m, nn] = (f[m] - f[nn]) / de
+            else:
+                wmn[m, nn] = beta * f[m] * (1 - f[m])
+    chi_exact = np.einsum("im,jm,mn,jn,in->ij", U, U.conj(), wmn, U,
+                          U.conj()).real
+    np.testing.assert_allclose(chi0, chi_exact, atol=2e-4)
+    # q-resolved version is the Fourier transform (q=0 sum rule)
+    pos = np.arange(n, dtype=float)[:, None]
+    q = np.array([[0.0]])
+    cq = chi0_q_static(cfg, gij7, pos, q)
+    np.testing.assert_allclose(cq[0, 0], chi0.sum() / n, atol=1e-10)
