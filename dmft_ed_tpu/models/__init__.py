@@ -11,6 +11,7 @@ Families:
   material            H(k)-file driven DMFT (ed_STO/ed_LVO/ed_SIO class)
   bhz_2d              BHZ topological insulator (k-space)
   bhz_3d              3D BHZ strong TI (spin-mixed Bloch, normal solver)
+  bhz_edge            BHZ strip with open edges (layer-resolved DMFT)
   soc                 t2g + atomic L.S (nonsu2 + replica bath)
   kspace              generic k-space loop + square/graphene/haldane/
                       kane-mele Bloch Hamiltonians
@@ -22,8 +23,8 @@ Families:
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
                tblg, ahm_square, bhz_3d, ahm_stripe, haldane_sc,
-               kspace_afm, material)
+               kspace_afm, material, bhz_edge)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d", "ahm_stripe", "haldane_sc", "kspace_afm", "material"]
+           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d", "ahm_stripe", "haldane_sc", "kspace_afm", "material", "bhz_edge"]

@@ -233,3 +233,34 @@ def test_material_driver_matches_bhz(rundir):
     r2 = bhz_2d.run(cfg, nk=8, mh=1.0, llambda=0.3, log=lambda m: None)
     assert r1.converged
     np.testing.assert_allclose(r1.dens, r2.dens, atol=1e-3)
+
+
+def test_bhz_strip_edge_states():
+    """Bulk->strip Fourier builder (ed_bhz_2d_edge geometry): hermitian;
+    helical edge modes in the topological phase, large gap in the trivial
+    one."""
+    from dmft_ed_tpu.models.bhz_edge import bhz_strip_hk
+    hk = bhz_strip_hk(nkx=32, ly=10, mh=1.0, llambda=0.3)
+    for ik in range(0, 32, 8):
+        np.testing.assert_allclose(hk[:, :, ik], hk[:, :, ik].conj().T,
+                                   atol=1e-12)
+    evs = np.array([np.linalg.eigvalsh(hk[:, :, ik]) for ik in range(32)])
+    assert np.min(np.abs(evs)) < 0.05          # edge modes cross the gap
+    hk = bhz_strip_hk(nkx=32, ly=10, mh=3.0, llambda=0.3)
+    evs = np.array([np.linalg.eigvalsh(hk[:, :, ik]) for ik in range(32)])
+    assert np.min(np.abs(evs)) > 0.9           # trivial: gapped
+
+
+@pytest.mark.slow
+def test_bhz_edge_layer_resolved_dmft(rundir):
+    from dmft_ed_tpu.models import bhz_edge
+    cfg = EDConfig(norb=2, nspin=2, nbath=2, uloc=(1.0, 1.0), ust=0.5,
+                   beta=100.0, lmats=150, lreal=40, lfit=150, nloop=12,
+                   dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=1200).validate()
+    r = bhz_edge.run(cfg, ly=4, nkx=10, mh=1.0, llambda=0.3, wmixing=0.5,
+                     log=lambda m: None)
+    assert r.error < 1e-2
+    # total filling 2 per layer; edge layer differs from bulk layer
+    np.testing.assert_allclose(r.dens.sum(axis=1), 2.0, atol=0.05)
+    assert abs(r.dens[0, 0] - r.dens[1, 0]) > 1e-4
