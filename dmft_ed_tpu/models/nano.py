@@ -74,6 +74,28 @@ def square_flake_hij(lx: int, ly: int, t: float = 1.0,
     return H, lat2ineq
 
 
+def hexagon_isoc_hij(t: float = 1.0, lam: float = 0.1):
+    """Hexagonal ring (6-site honeycomb flake) with intrinsic spin-orbit
+    coupling on next-nearest-neighbor bonds — the ed_nano_isoc.f90 class:
+    H_soc = i lam nu_ij sigma_z with nu = +1 counterclockwise (Kane-Mele).
+    Spin-conserving, so it runs in ed_mode=normal with Nspin=2. Returns
+    (hij [12, 12] complex, lat2ineq) with site-major (site, spin) layout.
+    By ring symmetry every site is equivalent (one inequivalent class)."""
+    n = 6
+    H = np.zeros((2 * n, 2 * n), dtype=complex)
+    for i in range(n):
+        j = (i + 1) % n
+        for s in range(2):
+            H[2 * i + s, 2 * j + s] = -t
+            H[2 * j + s, 2 * i + s] = -t
+    for i in range(n):
+        j = (i + 2) % n                      # counterclockwise NNN: nu=+1
+        for s, sgn in ((0, 1.0), (1, -1.0)):
+            H[2 * i + s, 2 * j + s] += 1j * lam * sgn
+            H[2 * j + s, 2 * i + s] += -1j * lam * sgn
+    return H, np.zeros(n, dtype=int)
+
+
 def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
         wmixing: float = 0.5, phsym: bool = False, sb_field_sign=None,
         log=None) -> NanoResult:

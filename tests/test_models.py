@@ -264,3 +264,22 @@ def test_bhz_edge_layer_resolved_dmft(rundir):
     # total filling 2 per layer; edge layer differs from bulk layer
     np.testing.assert_allclose(r.dens.sum(axis=1), 2.0, atol=0.05)
     assert abs(r.dens[0, 0] - r.dens[1, 0]) > 1e-4
+
+
+@pytest.mark.slow
+def test_nano_isoc_hexagon(rundir):
+    """ed_nano_isoc class: intrinsic-SOC hexagon flake (complex
+    spin-diagonal Hij) through the real-space DMFT loop — time-reversal
+    symmetric, half filled, one symmetry class."""
+    from dmft_ed_tpu.models import nano
+    cfg = EDConfig(norb=1, nbath=3, nspin=2, uloc=(2.0,), beta=60.0,
+                   lmats=150, lreal=30, lfit=150, nloop=12, dmft_error=1e-3,
+                   ed_verbose=0, lanc_dim_threshold=4096).validate()
+    hij, lat2ineq = nano.hexagon_isoc_hij(t=0.5, lam=0.15)
+    np.testing.assert_allclose(hij, hij.conj().T, atol=1e-14)
+    r = nano.run(cfg, hij, lat2ineq, wmixing=0.5, log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=0.01)
+    # TRS: the spin-resolved GFs coincide (no magnetization)
+    np.testing.assert_allclose(r.smats_ineq[:, 0, 0], r.smats_ineq[:, 1, 1],
+                               atol=2e-4)  # fit-level noise; TRS exact
