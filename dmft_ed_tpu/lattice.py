@@ -360,8 +360,9 @@ def kinetic_energy_realspace(cfg: EDConfig, hij: np.ndarray,
         Tk = np.eye(nlso) / (1j * w) - Bk / (1j * w) ** 2
         acc += np.real(np.trace(Ak @ (G - Tk)))
     e = acc * 4.0 / cfg.beta
-    e += 2 * np.trace(0.5 * Ak)
-    e += 2 * np.trace(0.25 * Ak @ Bk) * cfg.beta
+    # traces are real for hermitian Hij (complex SOC hoppings included)
+    e += 2 * np.trace(0.5 * Ak).real
+    e += 2 * np.trace(0.25 * Ak @ Bk).real * cfg.beta
     return float(e * spin_fac / 2.0 / nlat)
 
 
