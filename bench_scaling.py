@@ -15,11 +15,21 @@ Prints one JSON line per mesh size + a summary line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
+
+# `--cpu N` runs the sharded program on an N-device virtual CPU mesh via
+# the config API (this container's sitecustomize overrides JAX_PLATFORMS,
+# so env vars alone cannot force CPU here).
+if "--cpu" in sys.argv:
+    n = int(sys.argv[sys.argv.index("--cpu") + 1])
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
@@ -81,7 +91,8 @@ def run_mesh(cfg, sec, ham, n_shards, niter=20):
 
 
 def main():
-    cfg, sec, ham = build()
+    small = "--cpu" in sys.argv
+    cfg, sec, ham = build(nbath=9 if small else 13)
     nnz = ham.nnz_estimate()
     ndev = len(jax.devices())
     shard_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
