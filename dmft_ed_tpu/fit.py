@@ -220,10 +220,25 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
         if fgs_an is not None else None
     hls = jnp.asarray(np.stack([np.asarray(h) for h in hlocs]))
 
-    # one inject for all sites (identical bath structure across sites)
+    # one inject for all sites — requires identical bath structure and
+    # component mask across sites (the joint objective builds inject/cmask
+    # from site 0); verify rather than silently mis-fit.
     packs = [_fit_pack(cfg, bs[i], ispin, iorb) for i in range(S)]
     inject = packs[0][1]
     n = packs[0][0].size
+    for i in range(1, S):
+        if packs[i][0].size != n:
+            raise ValueError(
+                f"chi2_fitgf_sites: site {i} bath pack size "
+                f"{packs[i][0].size} != site 0 size {n}; per-site bath "
+                "structures must match for the joint fit")
+        mi, m0 = bs[i].mask, bs[0].mask
+        if (mi is None) != (m0 is None) or \
+                (mi is not None and not np.array_equal(np.asarray(mi),
+                                                       np.asarray(m0))):
+            raise ValueError(
+                f"chi2_fitgf_sites: site {i} replica mask differs from "
+                "site 0; per-site masks must match for the joint fit")
     x0 = np.concatenate([p[0] for p in packs])
     names = [k for k, v in
              {"e": bs[0].e, "d": bs[0].d, "v": bs[0].v, "u": bs[0].u,
@@ -280,10 +295,21 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
     fun, per_f = make_joint(cfg.cg_scheme, tgts, tgts_an)
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
     per = np.asarray(per_f(jnp.asarray(res.x).reshape(S, n)))
+    # fallback threshold RELATIVE to the weighted target norm: at strong
+    # coupling / small baths the true minimum routinely exceeds any
+    # absolute cutoff, which would silently refit every site serially
+    Wn = np.asarray(W)
+    cm = np.asarray(cmask)[..., None]
+    tnorm = np.array([np.sum(np.abs(np.asarray(tgts[i]) * cm) ** 2 / Wn)
+                      for i in range(S)])
+    if tgts_an is not None:
+        tnorm += np.array([np.sum(np.abs(np.asarray(tgts_an[i]) * cm) ** 2
+                                  / Wn) for i in range(S)])
+    thresh = 1e-3 * np.maximum(tnorm, 1e-6)
     out = np.empty_like(np.asarray(baths_flat))
     xmat = res.x.reshape(S, n)
     for i in range(S):
-        if per[i] > 1e-3:
+        if per[i] > thresh[i]:
             # failed joint fit for this site: single-site backstop
             out[i] = chi2_fitgf(cfgs[i], np.asarray(fgs[i]), baths_flat[i],
                                 hlocs[i], ispin=ispin, iorb=iorb,

@@ -99,8 +99,9 @@ def gloc_superc_dos(cfg: EDConfig, ebands, dbands, h0, sigma, sigma_an,
     H_nambu = [[ξ+Σ, Σᴬ], [Σᴬ, -ξ-Σ]] as in ed_ahm_disorder.f90:253-256):
         det = (z+mu-e-Σ)(z-mu+e+Σ̄) - Σᴬ²
         G   = ∫ D(e) (z-mu+e+Σ̄)/det ,  F = +∫ D(e) Σᴬ/det
-    where Σ̄(z) = conj(Σ(z)) on the imaginary axis and -conj(Σ(-z)) on the
-    real axis. Returns (G, F)."""
+    where Σ̄(z) = conj(Σ(z)) on the imaginary axis and +conj(Σ(-w+iη)) on
+    the real axis (ED_WRAP_GLOC.f90:335 adds +conjg(Sreal(L-i+1)); a static
+    real Σ=s must shift the hole block by +s). Returns (G, F)."""
     z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
     ns_, no = cfg.nspin, cfg.norb
     G = np.zeros((ns_, ns_, no, no, z.shape[0]), dtype=complex)
@@ -112,7 +113,7 @@ def gloc_superc_dos(cfg: EDConfig, ebands, dbands, h0, sigma, sigma_an,
             if axis == "mats":
                 sig_bar = np.conj(sig)
             else:
-                sig_bar = -np.conj(sig[::-1])
+                sig_bar = np.conj(sig[::-1])
             e = ebands[a][None, :]
             d = dbands[a][None, :]
             z1 = (z + cfg.xmu - h0[a] - sig)[:, None] - e
@@ -129,10 +130,12 @@ def gloc_hk_superc(cfg: EDConfig, hk: np.ndarray, sigma, sigma_an,
     the ed_ahm_square / ed_haldane_sc geometry): per (z, k) invert
 
         M = [[(z+mu)I - H(k) - Σ(z),   -Σᴬ(z)            ],
-             [-Σᴬ(z),   (z-mu)I + H(k)* + Σ̄(z)]]
+             [-Σᴬ(z),   (z-mu)I + H(k) + Σ̄(z)]]
 
-    with Σ̄(z) = conj(Σ) on the imaginary axis and -conj(Σ(-z)) on the
-    real one (particle-hole conjugation of the Nambu lower block).
+    with Σ̄(z) = conj(Σ) on the imaginary axis and +conj(Σ(-w+iη)) on the
+    real one. The hole block carries +H(k) — NOT conj(H(k)) — matching the
+    reference zeta(2,2)+Hk convention (ED_WRAP_GLOC.f90) and the exact
+    real-space BdG inversion for complex-phase Bloch matrices.
     hk: [Nso, Nso, Nk]; sigma/sigma_an: [Nspin, Nspin, Norb, Norb, L].
     Returns (G, F) in the same layout."""
     z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
@@ -144,11 +147,10 @@ def gloc_hk_superc(cfg: EDConfig, hk: np.ndarray, sigma, sigma_an,
     if axis == "mats":
         sig_bar = np.conj(sig)
     else:
-        sig_bar = -np.conj(sig[:, :, ::-1])
+        sig_bar = np.conj(sig[:, :, ::-1])
     G = np.zeros((ns_, ns_, no, no, L), dtype=complex)
     F = np.zeros_like(G)
     hkT = jnp.asarray(hk).transpose(2, 0, 1)          # [Nk, nso, nso]
-    hkC = jnp.conj(hkT)
     eye = jnp.eye(nso)
 
     @jax.jit
@@ -157,7 +159,7 @@ def gloc_hk_superc(cfg: EDConfig, hk: np.ndarray, sigma, sigma_an,
         blk11 = (zc + cfg.xmu)[:, None, None, None] * eye \
             - hkT[None] - sc[:, None]
         blk22 = (zc - cfg.xmu)[:, None, None, None] * eye \
-            + hkC[None] + sbc[:, None]
+            + hkT[None] + sbc[:, None]
         blk12 = -sac[:, None] * jnp.ones_like(blk11)
         M = jnp.concatenate([
             jnp.concatenate([blk11, blk12], axis=-1),
@@ -650,7 +652,7 @@ def gloc_hk_lattice_superc(cfg: EDConfig, hk: np.ndarray,
     the reduced BZ with site-block-diagonal Σ, Σᴬ). Per (z, k) inverts
 
         M = [[(z+mu)I - H(k) - Σ,  -Σᴬ          ],
-             [-Σᴬ,   (z-mu)I + H(k)* + Σ̄]]
+             [-Σᴬ,   (z-mu)I + H(k) + Σ̄]]
 
     and k-averages; Σ̄ as in gloc_hk_superc. Returns (G, F) site-diagonal
     blocks [Nlat, Nspin, Nspin, Norb, Norb, L]."""
@@ -665,11 +667,10 @@ def gloc_hk_lattice_superc(cfg: EDConfig, hk: np.ndarray,
     if axis == "mats":
         sig_bar = np.conj(sig)
     else:
-        sig_bar = -np.conj(sig[..., ::-1])
+        sig_bar = np.conj(sig[..., ::-1])
     G = np.zeros((nlat, ns_, ns_, no, no, L), dtype=complex)
     F = np.zeros_like(G)
     hkT = jnp.asarray(hk).transpose(2, 0, 1)
-    hkC = jnp.conj(hkT)
     eye = jnp.eye(nlso)
 
     def embed(sc):
@@ -687,7 +688,7 @@ def gloc_hk_lattice_superc(cfg: EDConfig, hk: np.ndarray,
         blk11 = (zc + cfg.xmu)[:, None, None, None] * eye \
             - hkT[None] - S[:, None]
         blk22 = (zc - cfg.xmu)[:, None, None, None] * eye \
-            + hkC[None] + Sb[:, None]
+            + hkT[None] + Sb[:, None]
         blk12 = -jnp.broadcast_to(SA[:, None], blk11.shape)
         M = jnp.concatenate([
             jnp.concatenate([blk11, blk12], axis=-1),
@@ -749,7 +750,7 @@ def gloc_realspace_superc(cfg: EDConfig, hij: np.ndarray,
                 Sbfull = np.zeros_like(S)
                 for k in range(nlat):
                     sl = slice(k * nso, (k + 1) * nso)
-                    Sbfull[sl, sl] = -np.conj(
+                    Sbfull[sl, sl] = np.conj(
                         sig[k, :, :, L - 1 - i])
                 Sb = Sbfull
             M = np.block([

@@ -34,7 +34,9 @@ rearrangements make it matmul-bound at the device's int8 dot rate
 Exactness bound: |Σ products| in a group ≤ K_cat·64·64 must stay < 2^31;
 with balanced digits (|digit| ≤ 32 beyond the leading one) the worst group
 bound is K·(2·64·32 + (P-2)·32·32). For K beyond that (sector row blocks
-> ~260k) the pairwise fallback (bound 4096·K < 2^31) is used.
+> ~260k) the pairwise fallback is used: each (p, q) product enters the
+f32-pair accumulator individually (exact while 4096·K < 2^31), with the
+contraction axis chunked past K = 2^31/4096 so no int32 sum ever wraps.
 
 This is the TPU equivalent of "use the tensor cores for f64" known from the
 Ozaki-splitting literature; the reference gets f64 for free from its CPUs
@@ -106,12 +108,12 @@ def _cat_right(B, nslices: int):
     return jnp.concatenate(digits[::-1], axis=0), sb
 
 
-def _group_combine(groups):
-    """Σ_s 2^{-6(s+2)} C_s with exact int32 groups via a TwoSum f32 pair."""
-    shape = groups[0].shape
+def _group_combine(pairs):
+    """Σ 2^{-6(s+2)} g over (s, g) exact-int32 terms via a TwoSum f32 pair."""
+    shape = pairs[0][1].shape
     hi = jnp.zeros(shape, jnp.float32)
     lo = jnp.zeros(shape, jnp.float32)
-    for s, g in enumerate(groups):
+    for s, g in pairs:
         ghi = g.astype(jnp.float32)                  # lossless split of g
         glo = (g - ghi.astype(jnp.int32)).astype(jnp.float32)
         sc = np.float32(2.0 ** (-_BITS * (s + 2)))
@@ -130,9 +132,10 @@ def _dot_i32(a, b):
 
 
 def _cat_groups(Acat, Bcat, nslices: int):
-    """C_s = Acat[:, :(s+1)k] @ Bcat[(P-1-s)k:, :] for s = 0..P-1."""
+    """(s, C_s) with C_s = Acat[:, :(s+1)k] @ Bcat[(P-1-s)k:, :]."""
     k = Acat.shape[1] // nslices
-    return [_dot_i32(Acat[:, :(s + 1) * k], Bcat[(nslices - 1 - s) * k:, :])
+    return [(s, _dot_i32(Acat[:, :(s + 1) * k],
+                         Bcat[(nslices - 1 - s) * k:, :]))
             for s in range(nslices)]
 
 
@@ -145,16 +148,23 @@ def _cat_safe(k: int, nslices: int) -> bool:
 
 
 def _pairwise(Ad, Bd_T, nslices: int):
-    """Fallback: per-(p, q) products (exact for k up to 2^31/4096),
-    f32-pair combined by scale group."""
-    groups = []
+    """Fallback: per-(p, q) int8 products, each combined INDIVIDUALLY into
+    the f32 TwoSum pair at scale 2^{-6(p+q+2)} — never summed in int32,
+    since a group sum of s+1 products can exceed 2^31 exactly in the
+    large-K regime where this fallback is selected. A single product is
+    exact while 4096·K < 2^31; beyond that the contraction axis is chunked
+    and each exact chunk product enters the pair separately."""
+    k = Ad[0].shape[1]
+    kmax = int(_INT32_LIM // (64 * 64)) - 1
+    bounds = list(range(0, k, kmax)) + [k] if k > kmax else [0, k]
+    pairs = []
     for s in range(nslices):
-        g = None
         for p in range(s + 1):
-            prod = _dot_i32(Ad[p], Bd_T[s - p])
-            g = prod if g is None else g + prod
-        groups.append(g)
-    return groups
+            q = s - p
+            for c0, c1 in zip(bounds[:-1], bounds[1:]):
+                pairs.append(
+                    (s, _dot_i32(Ad[p][:, c0:c1], Bd_T[q][c0:c1, :])))
+    return pairs
 
 
 @partial(jax.jit, static_argnums=(2,))

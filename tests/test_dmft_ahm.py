@@ -153,3 +153,89 @@ def test_haldane_sc_sublattice_symmetry(tmp_path, monkeypatch):
     # Dirac semimetal at half filling: condensate is small but finite
     assert np.all(r.phisc > 0.005)
     np.testing.assert_allclose(r.phisc[0], r.phisc[1], atol=1e-4)
+
+
+def test_gloc_hk_superc_complex_phase_vs_realspace_bdg():
+    """Hole block must carry +H(k), not conj(H(k)) (ED_WRAP_GLOC.f90
+    zeta(2,2)+Hk): on a 2-site supercell ring with Peierls phases the
+    Bloch matrix is genuinely complex, and the exact-Fourier k-sum of the
+    Nambu inverse must equal the real-space BdG inversion of the full
+    ring to machine precision."""
+    from dmft_ed_tpu.lattice import gloc_hk_lattice_superc
+    from dmft_ed_tpu import grids
+    cfg = EDConfig(norb=1, nspin=1, nbath=2, ed_mode="superc", beta=25.0,
+                   lmats=16, xmu=0.13).validate()
+    t, phi, m = 1.0, 0.7, 0.21
+    ncell, nsite = 4, 2
+    N = ncell * nsite
+    # real-space ring: uniform Peierls phase on every bond, staggered onsite
+    hrs = np.zeros((N, N), dtype=complex)
+    for i in range(N):
+        hrs[i, (i + 1) % N] = -t * np.exp(1j * phi)
+        hrs[(i + 1) % N, i] = -t * np.exp(-1j * phi)
+        hrs[i, i] = m if i % 2 == 0 else -m
+    # Bloch matrix of the 2-site cell, H(k)_{ab} = sum_R e^{-ikR} H[a0, bR]
+    ks = 2 * np.pi * np.arange(ncell) / ncell
+    hk = np.zeros((nsite, nsite, ncell), dtype=complex)
+    for n, k in enumerate(ks):
+        hab = -t * np.exp(1j * phi) - t * np.exp(-1j * phi) * np.exp(1j * k)
+        hk[:, :, n] = np.array([[m, hab], [np.conj(hab), -m]])
+    rng = np.random.default_rng(7)
+    L = cfg.lmats
+    sig = np.zeros((nsite, 1, 1, 1, 1, L), dtype=complex)
+    san = np.zeros_like(sig)
+    for a in range(nsite):
+        sig[a, 0, 0, 0, 0] = (rng.normal(size=L) * 0.2
+                              - 1j * np.abs(rng.normal(size=L)) * 0.4)
+        san[a, 0, 0, 0, 0] = rng.normal(size=L) * 0.3
+    G, F = gloc_hk_lattice_superc(cfg, hk, sig, san, "mats")
+    # exact real-space Nambu inversion with the SAME per-cell-site Sigma
+    z = grids.z_mats(cfg)
+    Gx = np.zeros((nsite, L), dtype=complex)
+    Fx = np.zeros((nsite, L), dtype=complex)
+    for i, zz in enumerate(z):
+        S = np.diag([sig[a % 2, 0, 0, 0, 0, i] for a in range(N)])
+        SA = np.diag([san[a % 2, 0, 0, 0, 0, i] for a in range(N)])
+        M = np.block([
+            [(zz + cfg.xmu) * np.eye(N) - hrs - S, -SA],
+            [-SA, (zz - cfg.xmu) * np.eye(N) + hrs + np.conj(S)]])
+        Mi = np.linalg.inv(M)
+        for a in range(nsite):
+            Gx[a, i] = Mi[a, a]
+            Fx[a, i] = Mi[a, N + a]
+    np.testing.assert_allclose(G[:, 0, 0, 0, 0, :], Gx, atol=1e-12)
+    np.testing.assert_allclose(F[:, 0, 0, 0, 0, :], Fx, atol=1e-12)
+
+
+def test_gloc_superc_realaxis_static_sigma():
+    """Real-axis hole-block continuation: Sigma_bar(w) = +conj(Sigma(-w+i0))
+    (ED_WRAP_GLOC.f90:335 adds +conjg(Sreal(L-i+1))). A static REAL Sigma=s
+    must shift the hole block by +s — checked against the explicit Nambu
+    inversion, on both gloc_superc_dos and gloc_hk_superc."""
+    from dmft_ed_tpu.lattice import gloc_hk_superc, gloc_superc_dos
+    from dmft_ed_tpu import grids
+    cfg = EDConfig(norb=1, nspin=1, nbath=2, ed_mode="superc", beta=30.0,
+                   lreal=41, wini=-3.0, wfin=3.0, eps=0.08,
+                   xmu=0.1).validate()
+    s, d0, e0 = 0.33, 0.25, 0.2
+    L = cfg.lreal
+    sig = np.full((1, 1, 1, 1, L), s, dtype=complex)
+    san = np.full((1, 1, 1, 1, L), d0, dtype=complex)
+    eb = np.array([[e0]])
+    db = np.array([[1.0]])
+    hk = np.full((1, 1, 1), e0, dtype=complex)
+    G1, F1 = gloc_superc_dos(cfg, eb, db, np.zeros(1), sig, san, "real")
+    G2, F2 = gloc_hk_superc(cfg, hk, sig, san, "real")
+    z = grids.z_real(cfg)
+    xi = e0 - cfg.xmu
+    Gx = np.zeros(L, dtype=complex)
+    Fx = np.zeros(L, dtype=complex)
+    for i, zz in enumerate(z):
+        M = np.array([[zz - xi - s, -d0],
+                      [-d0, zz + xi + s]])   # +s: static real Sigma shift
+        Mi = np.linalg.inv(M)
+        Gx[i], Fx[i] = Mi[0, 0], Mi[0, 1]
+    np.testing.assert_allclose(G1[0, 0, 0, 0], Gx, atol=1e-10)
+    np.testing.assert_allclose(F1[0, 0, 0, 0], Fx, atol=1e-10)
+    np.testing.assert_allclose(G2[0, 0, 0, 0], Gx, atol=1e-10)
+    np.testing.assert_allclose(F2[0, 0, 0, 0], Fx, atol=1e-10)

@@ -56,3 +56,35 @@ def test_matvec_ozaki_vs_native():
     y1 = np.asarray(flatten_blocks(jax.jit(mv_oz)(V)))
     y2 = np.asarray(flatten_blocks(jax.jit(mv_f64)(V)))
     np.testing.assert_allclose(y1, y2, atol=1e-9 * np.max(np.abs(y2)))
+
+
+def test_pairwise_fallback_chunked(monkeypatch):
+    """Large-K pairwise fallback: each (p, q) product must enter the f32
+    TwoSum pair individually (an int32 GROUP sum can wrap exactly in the
+    regime where the fallback is selected), chunking the contraction axis
+    when even single products could exceed 2^31. Force both paths with a
+    tiny synthetic int32 limit."""
+    rng = np.random.default_rng(5)
+    # unique shape to dodge jit caches compiled with the real limit
+    A = rng.normal(size=(31, 97))
+    B = rng.normal(size=(97, 29))
+    exact = A @ B
+    monkeypatch.setattr(ozaki, "_INT32_LIM", 4096.0 * 40)  # kmax = 39 < 97
+    got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), 6))
+    assert np.max(np.abs(got - exact)) / np.max(np.abs(exact)) < 1e-9
+
+
+@pytest.mark.slow
+def test_pairwise_fallback_natural_k():
+    """K past the _cat_safe bound engages the fallback with the real
+    int32 limit; adversarial near-1 values maximize digit magnitudes
+    (the case where the old int32 group accumulation wrapped)."""
+    rng = np.random.default_rng(6)
+    K = 300_000
+    assert not ozaki._cat_safe(K, 6)
+    v = 1.0 - 32.0 / 4096.0 * (64.0 / 63.0)   # digits ~ (64, -32, -32, ...)
+    A = np.where(rng.random((4, K)) < 0.5, v, -v)
+    B = np.where(rng.random((K, 4)) < 0.5, v, -v)
+    exact = A @ B
+    got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), 6))
+    assert np.max(np.abs(got - exact)) / np.max(np.abs(exact)) < 1e-9
