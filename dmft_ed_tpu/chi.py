@@ -19,7 +19,6 @@ from .bath import Bath
 from .eigenspace import StateList
 from .excitations import apply_diag_op, apply_spin_op
 from .gf_common import HamCache, state_iter
-from .lanczos import lanczos_tridiag_op, tridiag_eigh
 from . import grids
 
 import jax.numpy as jnp
@@ -37,50 +36,67 @@ class _BoseAccum:
         self.chi_iv = np.zeros((nrow, len(self.vm)), dtype=complex)
         self.chi_w = np.zeros((nrow, len(self.wr)), dtype=complex)
 
-    def add(self, row, peso_f, e_i, egs, alphas, betas, finite_t,
-            isigns=(1, -1)):
-        """isign=±1 reductions of one tridiagonalization
-        (add_to_lanczos_spinChi, ED_GF_CHISPIN.f90:254-323); the dens
-        off-diagonal channels use a single isign with complex weight
-        (ED_GF_CHIDENS.f90:131-178)."""
+    def add_poles(self, row, weights, poles, isigns=(1, -1)):
+        """isign=±1 bosonic reductions of one resolvent's (weights, dE)
+        pole set (add_to_lanczos_spinChi, ED_GF_CHISPIN.f90:254-323); the
+        dens off-diagonal channels use a single isign with complex weight
+        (ED_GF_CHIDENS.f90:131-178). weights carry the full Boltzmann/Z
+        prefactor (gf_common.ResolventBatch convention); poles are
+        dE_j = E_j - E_i. Vectorized over (poles x grid)."""
         cfg = self.cfg
-        n = len(alphas)
-        evals, Z = tridiag_eigh(alphas, betas)
+        if weights.size == 0:
+            return
         beta = cfg.beta
-        peso_bz = np.exp(-beta * (e_i - egs)) if finite_t else 1.0
-        for j in range(n):
-            dE = evals[j] - e_i
-            peso = peso_f * Z[0, j] ** 2 * peso_bz   # may be complex
-            if peso == 0.0:
-                continue
-            ebde = np.exp(-beta * dE) if beta * dE < 200 else 0.0
-            iv = 1j * self.vm[1:]
-            zw = self.wr + 1j * cfg.eps
-            iv0 = peso * beta if beta * dE < 1e-1 \
-                else peso * (1 - ebde) / dE
-            if 1 in isigns:
-                self.chi_iv[row, 0] += iv0
-                self.chi_iv[row, 1:] += peso * (ebde - 1.0) / (iv - dE)
-                self.chi_tau[row] += peso * np.exp(
-                    np.clip(-self.tau * dE, -200, 200))
-                self.chi_w[row] += peso * (ebde - 1.0) / (zw - dE)
-            if -1 in isigns:
-                self.chi_iv[row, 0] += iv0
-                self.chi_iv[row, 1:] += peso * (1.0 - ebde) / (iv + dE)
-                self.chi_tau[row] += peso * np.exp(
-                    np.clip(-(beta - self.tau) * dE, -200, 200))
-                self.chi_w[row] += peso * (1.0 - ebde) / (zw + dE)
+        peso = np.asarray(weights)                    # may be complex
+        dE = np.asarray(poles)
+        ebde = np.where(beta * dE < 200.0,
+                        np.exp(-np.clip(beta * dE, -700.0, 200.0)), 0.0)
+        iv = 1j * self.vm[1:]
+        zw = self.wr + 1j * cfg.eps
+        iv0 = np.where(beta * dE < 1e-1, peso * beta,
+                       peso * (1 - ebde) / np.where(np.abs(dE) > 0, dE, 1.0))
+        if 1 in isigns:
+            self.chi_iv[row, 0] += iv0.sum()
+            self.chi_iv[row, 1:] += np.sum(
+                (peso * (ebde - 1.0))[:, None] / (iv[None, :] - dE[:, None]),
+                axis=0)
+            self.chi_tau[row] += np.sum(
+                peso[:, None] * np.exp(np.clip(-self.tau[None, :]
+                                               * dE[:, None], -200, 200)),
+                axis=0)
+            self.chi_w[row] += np.sum(
+                (peso * (ebde - 1.0))[:, None] / (zw[None, :] - dE[:, None]),
+                axis=0)
+        if -1 in isigns:
+            self.chi_iv[row, 0] += iv0.sum()
+            self.chi_iv[row, 1:] += np.sum(
+                (peso * (1.0 - ebde))[:, None] / (iv[None, :] + dE[:, None]),
+                axis=0)
+            self.chi_tau[row] += np.sum(
+                peso[:, None] * np.exp(np.clip(
+                    -(beta - self.tau[None, :]) * dE[:, None], -200, 200)),
+                axis=0)
+            self.chi_w[row] += np.sum(
+                (peso * (1.0 - ebde))[:, None] / (zw[None, :] + dE[:, None]),
+                axis=0)
 
 
 def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
-                 hloc, finite_t: bool, rows, log=None):
+                 hloc, finite_t: bool, rows, log=None, mesh=None):
     """rows: list of (row_index, builder) where builder(sector, vec) returns
-    None or (target_sector, vector[, cnorm_multiplier])."""
-    table = sector_table(cfg)
-    cache = HamCache(cfg, bath, hloc)
+    None or (target_sector, vector[, cnorm_multiplier[, isigns]]).
+
+    All probe channels run through gf_common.ResolventBatch — the same
+    device batching (channels per sector on a vmap axis, equal-structure
+    sectors stacked, big sectors row-sharded on the mesh) as the GF pass;
+    the reference runs each chi channel through a serial Lanczos
+    (ED_GF_CHISPIN.f90:254-323 semantics preserved in add_poles)."""
+    from .gf_common import ResolventBatch
+    cache = HamCache(cfg, bath, hloc, mesh)
     nrow = max(r for r, _ in rows) + 1
     acc = _BoseAccum(cfg, nrow)
     egs = slist.emin
+    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
     for row, build in rows:
         for sector, e_i, vec in state_iter(slist):
             r = build(sector, vec)
@@ -89,23 +105,15 @@ def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
             jsec, vv = r[0], r[1]
             cnorm = r[2] if len(r) > 2 else 1.0
             isigns = r[3] if len(r) > 3 else (1, -1)
-            norm2 = float(np.real(np.vdot(vv, vv)))
-            if norm2 < 1e-30:
-                continue
-            v0 = jnp.asarray(vv / np.sqrt(norm2))
-            nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-            spec, arrays, blocks = cache.op(jsec)
-            alphas, betas, nsteps = lanczos_tridiag_op(spec, blocks, arrays,
-                                                       v0, nlanc)
-            nn = max(int(nsteps), 1)
-            acc.add(row, cnorm * norm2 / zeta, e_i, egs,
-                    np.asarray(alphas[:nn]), np.asarray(betas[:nn]),
-                    finite_t, isigns)
+            batch.add(jsec, vv, e_i,
+                      {"row": row, "isigns": isigns, "cnorm2": cnorm})
+    for meta, w, p in batch.run():
+        acc.add_poles(meta["row"], w, p, meta["isigns"])
     return acc.chi_tau, acc.chi_iv, acc.chi_w
 
 
 def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                   log=None):
+                   log=None, mesh=None):
     """χ^z_aa = <Sz_a(τ) Sz_a(0)> per orbital + total (build_chi_spin).
     Returns arrays [Norb(+1 tot), Norb broadcast, L] shaped [N, N, L]-like:
     here (rows = orbitals + total) mapped to [Norb+t, Norb+t] diag layout."""
@@ -131,12 +139,12 @@ def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
     if cfg.norb > 1:
         rows.append((cfg.norb, sz_tot))
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log)
+                                 rows, log, mesh)
     return _to_matrix(cfg, tau_, iv_, w_)
 
 
 def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                   log=None):
+                   log=None, mesh=None):
     """χ_nn: orbital-diagonal, off-diagonal (via (n_a+n_b) and (n_a∓i n_b)
     combinations with the (1+i) reconstruction on χ(ω),
     ED_GF_CHIDENS.f90:18-66, :280-470) and total-density channels."""
@@ -177,7 +185,7 @@ def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
         tot_row = nrow
         nrow += 1
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log)
+                                 rows, log, mesh)
     n = norb + (1 if norb > 1 else 0)
     out_tau = np.zeros((n, n, tau_.shape[-1]), dtype=complex)
     out_iv = np.zeros((n, n, iv_.shape[-1]), dtype=complex)
@@ -206,7 +214,7 @@ def _nvec(ns, coeffs):
 
 
 def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                   log=None):
+                   log=None, mesh=None):
     """χ_pair_aa with the pair operator Δ_a = c_{a,dw} c_{a,up}
     (build_chi_pair; ED_GF_CHIPAIR.f90:60-130)."""
     if log:
@@ -227,7 +235,7 @@ def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
 
     rows = [(a, pair_op(a)) for a in range(cfg.norb)]
     tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log)
+                                 rows, log, mesh)
     return _to_matrix(cfg, tau_, iv_, w_)
 
 

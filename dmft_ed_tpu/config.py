@@ -109,6 +109,10 @@ class EDConfig:
     #   ozakiN runs the dense H·v matmuls as N-slice int8 digit products with
     #   exact int32 accumulation (ozaki.py) — near-f64 accuracy at a fraction
     #   of the TPU f64-emulation cost. Real-valued operators only.
+    shard_dim_threshold: int = 1 << 17  # sector dim above which Krylov
+    #   solves row-shard over the mesh 'rows' axis when a mesh is given
+    #   (the production analogue of the reference's MPI row split,
+    #   ED_HAMILTONIAN.f90:56-62); below it, single-device is faster.
     seed: int = 0                 # PRNG seed for bath noise
 
     # ------------------------------------------------------------------

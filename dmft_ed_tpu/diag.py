@@ -82,8 +82,15 @@ def _solve_sector_dense(ham, neigen: int):
     return evals[:neigen], jnp.asarray(evecs[:, :neigen].T)
 
 
-def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng):
+def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None):
     sec = ham.sector
+    if mesh is not None and mesh.shape.get("rows", 1) > 1 \
+            and sec.dim >= cfg.shard_dim_threshold:
+        # production distributed path: row-sharded Krylov over the mesh
+        # (the analogue of the reference's MPI sector solve,
+        # ED_MAIN.f90:284-327)
+        from .parallel.hxv import solve_sector_sharded
+        return solve_sector_sharded(cfg, ham, neigen, rng, mesh)
     spec, arrays, blocks = make_matvec_op(ham, cfg)
     cplx = spec[-1].startswith("complex")
     v0 = rng.normal(size=sec.dim)
@@ -122,8 +129,12 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng):
 
 def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                 state: Optional[DiagState] = None,
-                suffix: str = "", log=None) -> tuple:
-    """Full sector sweep. Returns (StateList, zeta, DiagState)."""
+                suffix: str = "", log=None, mesh=None) -> tuple:
+    """Full sector sweep. Returns (StateList, zeta, DiagState).
+
+    mesh: optional jax.sharding.Mesh with a 'rows' axis — sectors with
+    dim >= cfg.shard_dim_threshold are then solved with row-sharded
+    Krylov (the production distributed path; parallel/hxv.py)."""
     table = sector_table(cfg)
     if state is None:
         state = DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
@@ -163,7 +174,7 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         lanc_solve = (neigen < sec.dim) and (sec.dim > cfg.lanc_dim_threshold)
         ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
         if lanc_solve:
-            evals, evecs = _solve_sector_lanczos(cfg, ham, neigen, rng)
+            evals, evecs = _solve_sector_lanczos(cfg, ham, neigen, rng, mesh)
         else:
             evals, evecs = _solve_sector_dense(ham, neigen)
             evals, evecs = evals[:neigen], evecs[:neigen]

@@ -32,9 +32,12 @@ class HamCache:
     the spec/arrays split keeps the jit compile keys stable across
     iterations (only the structure, not the values, keys the compile)."""
 
-    def __init__(self, cfg: EDConfig, bath: Bath, hloc: np.ndarray):
+    def __init__(self, cfg: EDConfig, bath: Bath, hloc: np.ndarray,
+                 mesh=None):
         self.cfg, self.bath, self.hloc = cfg, bath, hloc
+        self.mesh = mesh
         self._op: Dict[int, tuple] = {}
+        self._op_sharded: Dict[int, tuple] = {}
 
     def op(self, sector: Sector):
         key = sector.index
@@ -43,6 +46,24 @@ class HamCache:
                                            self.hloc)
             self._op[key] = make_matvec_op(ham, self.cfg)
         return self._op[key]
+
+    def sharded(self, sector: Sector) -> bool:
+        """Whether this sector's Krylov runs row-sharded over the mesh."""
+        return (self.mesh is not None
+                and self.mesh.shape.get("rows", 1) > 1
+                and sector.dim >= self.cfg.shard_dim_threshold)
+
+    def op_sharded(self, sector: Sector):
+        """(spec, arrays, blocks, sector_padded, shd, shd_b) of the padded
+        row-sharded operator (parallel.hxv.sharded_sector_op)."""
+        key = sector.index
+        if key not in self._op_sharded:
+            from .parallel.hxv import sharded_sector_op
+            ham = build_sector_hamiltonian(self.cfg, sector, self.bath,
+                                           self.hloc)
+            self._op_sharded[key] = sharded_sector_op(ham, self.cfg,
+                                                      self.mesh)
+        return self._op_sharded[key]
 
 
 def krylov_poles(cfg: EDConfig, cache: HamCache, jsec: Sector,
@@ -163,12 +184,17 @@ class ResolventBatch:
         """Yields (meta, weights, poles) per channel."""
         from .lanczos import lanczos_tridiag_op_stacked
         cfg = self.cfg
-        # resolve operators, then group structurally identical ones
+        # resolve operators, then group structurally identical ones;
+        # sectors above shard_dim_threshold run row-sharded on the mesh
+        # (channels of one sector still batch on the leading vmap axis)
         entries = []
         for key, joblist in self.jobs.items():
             site, _ = key
             jsec = self.jsecs[key]
             cache = self.sites[site][0]
+            if cache.sharded(jsec):
+                yield from self._run_sharded(site, cache, jsec, joblist)
+                continue
             spec, arrays, blocks = cache.op(jsec)
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
             entries.append((site, spec, blocks, arrays, nlanc, joblist))
@@ -199,3 +225,26 @@ class ResolventBatch:
                                                ns[si])
         self.jobs.clear()
         self.jsecs.clear()
+
+    def _run_sharded(self, site, cache, jsec, joblist):
+        """Row-sharded batched tridiagonalization of one big target sector:
+        the distributed GF pass (the reference scatters excitation vectors
+        and Lanczos-iterates under MPI, ED_GF_NORMAL.f90:156-187;
+        here the channel batch [B, ddw, dup] shards as P(None,'rows',None)
+        and XLA places the collectives)."""
+        import jax
+        from .lanczos import lanczos_tridiag_blocks_batched
+        from .parallel.hxv import pad_flat_to_blocks
+        cfg = self.cfg
+        spec, arrays, blocks, sec_p, shd, shd_b = cache.op_sharded(jsec)
+        nlanc = min(jsec.dim, cfg.lanc_ngfiter)
+        cplx = spec[-1].startswith("complex")
+        dt = jnp.complex128 if cplx else jnp.dtype(cfg.dtype)
+        stacks = [pad_flat_to_blocks(j[0], jsec, sec_p) for j in joblist]
+        V0 = tuple(jax.device_put(
+            jnp.asarray(np.stack([s[bi] for s in stacks]), dtype=dt), shd_b)
+            for bi in range(len(sec_p.blocks)))
+        al, be, ns = lanczos_tridiag_blocks_batched(spec, blocks, arrays,
+                                                    V0, nlanc, shd_b)
+        yield from self._weights_poles(site, joblist, np.asarray(al),
+                                       np.asarray(be), np.asarray(ns))

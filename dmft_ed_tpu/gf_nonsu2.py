@@ -46,10 +46,11 @@ def _components(cfg: EDConfig, bath: Bath):
 
 
 def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
-                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None):
+                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None,
+                    mesh=None):
     from .gf_common import ResolventBatch
     table = sector_table(cfg)
-    cache = HamCache(cfg, bath, hloc)
+    cache = HamCache(cfg, bath, hloc, mesh)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
     Gm = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lmats),
                   dtype=complex)

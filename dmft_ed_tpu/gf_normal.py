@@ -30,7 +30,7 @@ def _gf_shape(cfg, L):
 
 def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
                     bath: Bath, hloc: np.ndarray, finite_t: bool,
-                    log=None) -> Tuple[np.ndarray, np.ndarray]:
+                    log=None, mesh=None) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (Gmats, Greal) [Nspin,Nspin,Norb,Norb,L].
 
     All excitation channels targeting the same sector run as ONE batched
@@ -38,7 +38,7 @@ def build_gf_normal(cfg: EDConfig, slist: StateList, zeta: float,
     serial loops (lanc_build_gf_normal_c) become a device batch axis.
     """
     from .gf_common import ResolventBatch
-    cache = HamCache(cfg, bath, hloc)
+    cache = HamCache(cfg, bath, hloc, mesh)
     batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
     finalize = gf_normal_plan(cfg, slist, bath, batch, site=0, log=log)
     return finalize(batch.run())

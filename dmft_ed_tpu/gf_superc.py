@@ -24,11 +24,12 @@ from . import grids
 
 
 def build_gf_superc(cfg: EDConfig, slist: StateList, zeta: float,
-                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None):
+                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None,
+                    mesh=None):
     """Returns (Gmats, Greal, Fmats, Freal); all channels batched per
     target sector (gf_common.ResolventBatch)."""
     from .gf_common import ResolventBatch
-    cache = HamCache(cfg, bath, hloc)
+    cache = HamCache(cfg, bath, hloc, mesh)
     batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
     finalize = gf_superc_plan(cfg, slist, batch, site=0, log=log)
     return finalize(batch.run())

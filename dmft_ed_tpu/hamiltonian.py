@@ -657,7 +657,8 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
     or `lanczos.lanczos_tridiag_op`."""
     sec = ham.sector
     rdtype = jnp.dtype(cfg.dtype)
-    cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    cdtype = jnp.dtype(jnp.complex128 if rdtype == jnp.float64
+                       else jnp.complex64)
     is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
     vdtype = cdtype if is_cplx else rdtype
     thr = cfg.dense_matmul_threshold

@@ -396,3 +396,263 @@ def lanczos_tridiag_op_stacked(spec, blocks, arrays_stacked, V0, niter: int):
 
     return jax.vmap(lambda arrays, vs: jax.vmap(partial(one, arrays))(vs))(
         arrays_stacked, V0)
+
+
+# ----------------------------------------------------------------------
+# block-tuple Krylov: the distributed production form
+# ----------------------------------------------------------------------
+# Vectors stay as tuples of per-block matrices V_b [ddw_b, dup_b] (rows
+# shardable over the mesh 'rows' axis — parallel/hxv.py pads each block to
+# the mesh multiple). All reductions use the precise-dot form so the TPU
+# f64-reduction pathology never enters the distributed hot loop, and under
+# GSPMD they lower to psum over ICI — the XLA-native replacement of the
+# reference's MPI allreduce inside P-ARPACK (ED_HAMILTONIAN_STORED_HxV.f90
+# :147-197, .repo/ARPACK_LANCZOS.f90).
+
+def _pdot_pair(a, b):
+    """Re<a|b> of two equally-shaped arrays, full reduction, precise on TPU
+    (see precise_dot). Works for any rank."""
+    if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        a32 = a.astype(jnp.float32)
+        al = (a - a32.astype(jnp.float64)).astype(jnp.float32)
+        b32 = b.astype(jnp.float32)
+        bl = (b - b32.astype(jnp.float64)).astype(jnp.float32)
+        d1 = jnp.sum(a32 * b32, dtype=jnp.float32)
+        d2 = jnp.sum(a32 * bl + al * b32, dtype=jnp.float32)
+        return d1.astype(jnp.float64) + d2.astype(jnp.float64)
+    return jnp.real(jnp.sum(jnp.conj(a) * b))
+
+
+def tuple_real_dot(A, B):
+    """Re<A|B> over a block tuple."""
+    return sum(_pdot_pair(a, b) for a, b in zip(A, B))
+
+
+def _constrain(V, shd):
+    if shd is None:
+        return V
+    return tuple(jax.lax.with_sharding_constraint(v, shd) for v in V)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def lanczos_tridiag_blocks(spec, blocks, arrays, V0, niter: int, shd=None):
+    """3-term Lanczos recurrence in the block-tuple layout.
+
+    V0: tuple of per-block matrices (rows shardable); shd: optional
+    NamedSharding pinned onto every Krylov vector each step (static —
+    NamedSharding is hashable). Same contract as lanczos_tridiag_op:
+    returns (alphas [niter], betas [niter] with the beta[0]=1 sentinel,
+    nsteps)."""
+    from .hamiltonian import apply_op
+    dt = V0[0].dtype
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) else jnp.float32
+
+    def mv(V):
+        return _constrain(apply_op(spec, arrays, _constrain(V, shd)), shd)
+
+    def axpy(c, X, Y):          # Y - c*X per leaf
+        return tuple(y - c * x for x, y in zip(X, Y))
+
+    def step(carry, _):
+        v_prev, v, b_prev, alive = carry
+        w = mv(v)
+        a = tuple_real_dot(v, w)
+        w = axpy(a, v, w)
+        w = axpy(b_prev, v_prev, w)
+        b = jnp.sqrt(tuple_real_dot(w, w))
+        ok = alive & (b > _BREAKDOWN)
+        binv = jnp.where(b > 0, 1.0 / jnp.where(b > 0, b, 1.0), 0.0)
+        v_next = tuple(jnp.where(ok, wb * binv, jnp.zeros_like(wb))
+                       for wb in w)
+        out_a = jnp.where(alive, a, 0.0)
+        out_b = jnp.where(ok, b, 0.0)
+        v_keep = tuple(jnp.where(ok, vb, pb)
+                       for vb, pb in zip(v, v_prev))
+        return (v_keep, _constrain(v_next, shd), jnp.where(ok, b, 0.0), ok), \
+            (out_a.astype(rdt), out_b.astype(rdt), alive)
+
+    zeros = tuple(jnp.zeros_like(v) for v in V0)
+    init = (zeros, _constrain(V0, shd), jnp.asarray(0.0, rdt),
+            jnp.asarray(True))
+    _, (alphas, betas, alive) = jax.lax.scan(step, init, None, length=niter)
+    nsteps = jnp.sum(alive.astype(jnp.int32))
+    betas_out = jnp.concatenate([jnp.ones(1, rdt), betas[:-1]])
+    return alphas, betas_out, nsteps
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def lanczos_tridiag_blocks_batched(spec, blocks, arrays, V0, niter: int,
+                                   shd=None):
+    """Batched block-tuple recurrence: V0 leaves [B, ddw_b, dup_b]; one
+    compiled scan serves B channels of one (possibly sharded) sector —
+    the GF batching axis composed with the row sharding. shd applies to
+    the batched leaves (e.g. P(None, 'rows', None))."""
+    from .hamiltonian import apply_op
+    dt = V0[0].dtype
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) else jnp.float32
+
+    def mv(V):
+        Y = jax.vmap(lambda Vb: apply_op(spec, arrays, Vb))(V)
+        return _constrain(Y, shd)
+
+    def bdot(A, B):
+        # per-batch Re<a|b>: reduce all but the leading axis
+        def one(a, b):
+            if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
+                a32 = a.astype(jnp.float32)
+                al = (a - a32.astype(jnp.float64)).astype(jnp.float32)
+                b32 = b.astype(jnp.float32)
+                bl = (b - b32.astype(jnp.float64)).astype(jnp.float32)
+                d1 = jnp.sum(a32 * b32, axis=(-2, -1), dtype=jnp.float32)
+                d2 = jnp.sum(a32 * bl + al * b32, axis=(-2, -1),
+                             dtype=jnp.float32)
+                return d1.astype(jnp.float64) + d2.astype(jnp.float64)
+            return jnp.real(jnp.sum(jnp.conj(a) * b, axis=(-2, -1)))
+        return sum(one(a, b) for a, b in zip(A, B))
+
+    def step(carry, _):
+        v_prev, v, b_prev, alive = carry
+        w = mv(v)
+        a = bdot(v, w)                                     # [B]
+        w = tuple(wb - a[:, None, None] * vb for vb, wb in zip(v, w))
+        w = tuple(wb - b_prev[:, None, None] * pb
+                  for pb, wb in zip(v_prev, w))
+        b = jnp.sqrt(bdot(w, w))
+        ok = alive & (b > _BREAKDOWN)
+        binv = jnp.where(b > 0, 1.0 / jnp.where(b > 0, b, 1.0), 0.0)
+        v_next = tuple(jnp.where(ok[:, None, None], wb * binv[:, None, None],
+                                 jnp.zeros_like(wb)) for wb in w)
+        v_keep = tuple(jnp.where(ok[:, None, None], vb, pb)
+                       for vb, pb in zip(v, v_prev))
+        return (v_keep, _constrain(v_next, shd), jnp.where(ok, b, 0.0), ok), \
+            (jnp.where(alive, a, 0.0).astype(rdt),
+             jnp.where(ok, b, 0.0).astype(rdt), alive)
+
+    B = V0[0].shape[0]
+    zeros = tuple(jnp.zeros_like(v) for v in V0)
+    init = (zeros, _constrain(V0, shd), jnp.zeros(B, rdt),
+            jnp.ones(B, dtype=bool))
+    _, (alphas, betas, alive) = jax.lax.scan(step, init, None, length=niter)
+    nsteps = jnp.sum(alive.astype(jnp.int32), axis=0)        # [B]
+    ones = jnp.ones((1, B), rdt)
+    betas_out = jnp.concatenate([ones, betas[:-1]], axis=0)
+    return alphas.T, betas_out.T, nsteps                     # [B, niter]
+
+
+def _proj_rows(V, w):
+    """h[k] = Σ conj(V[k])·w over the trailing axes — the Gram-Schmidt
+    projection of the thick-restart expand. Precise f32-pair form for real
+    f64 on TPU (a plain f64 einsum would hit the emulated-reduce
+    pathology); exact einsum elsewhere."""
+    if V.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        V32 = V.astype(jnp.float32)
+        Vl = (V - V32.astype(jnp.float64)).astype(jnp.float32)
+        w32 = w.astype(jnp.float32)
+        wl = (w - w32.astype(jnp.float64)).astype(jnp.float32)
+        d1 = jnp.einsum("kij,ij->k", V32, w32,
+                        preferred_element_type=jnp.float32)
+        d2 = jnp.einsum("kij,ij->k", V32, wl,
+                        preferred_element_type=jnp.float32) \
+            + jnp.einsum("kij,ij->k", Vl, w32,
+                         preferred_element_type=jnp.float32)
+        return d1.astype(jnp.float64) + d2.astype(jnp.float64)
+    return jnp.einsum("kij,ij->k", jnp.conj(V), w)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+def _expand_blocks(spec, blocks, arrays, V, T, j0: int, m: int, shd=None):
+    """Thick-restart basis expansion in the block-tuple layout.
+
+    V: tuple of [m+1, ddw_b, dup_b] basis stacks (rows shardable on the
+    middle axis); T: [m+1, m+1] projected operator. Two Gram-Schmidt
+    passes as in _expand."""
+    from .hamiltonian import apply_op
+
+    def step(carry, j):
+        V, T = carry
+        v = tuple(Vb[j] for Vb in V)
+        w = apply_op(spec, arrays, v)
+        h1 = sum(_proj_rows(Vb, wb) for Vb, wb in zip(V, w))
+        w = tuple(wb - jnp.einsum("k,kij->ij", h1.astype(Vb.dtype), Vb)
+                  for Vb, wb in zip(V, w))
+        h2 = sum(_proj_rows(Vb, wb) for Vb, wb in zip(V, w))
+        w = tuple(wb - jnp.einsum("k,kij->ij", h2.astype(Vb.dtype), Vb)
+                  for Vb, wb in zip(V, w))
+        h = h1 + h2
+        b = jnp.sqrt(tuple_real_dot(w, w))
+        safe = b > _BREAKDOWN
+        scale = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, b, 1.0)
+        V = tuple(Vb.at[j + 1].set(wb * scale) for Vb, wb in zip(V, w))
+        T = T.at[:, j].set(h.astype(T.dtype))
+        T = T.at[j, :].set(jnp.conj(h).astype(T.dtype))
+        T = T.at[j + 1, j].set(b.astype(T.dtype))
+        T = T.at[j, j + 1].set(b.astype(T.dtype))
+        return (V, T), b
+
+    if shd is not None:
+        V = tuple(jax.lax.with_sharding_constraint(v, shd) for v in V)
+    (V, T), betas = jax.lax.scan(step, (V, T), jnp.arange(j0, m))
+    return V, T, betas
+
+
+def eigs_lanczos_blocks(spec, blocks, arrays, V0, neigen, ncv, maxiter=512,
+                        tol=1e-12, shd=None):
+    """Thick-restart Lanczos in the block-tuple layout (the distributed
+    eigs path wired into diagonalize() for sectors above
+    shard_dim_threshold; same restart logic as eigs_lanczos_op).
+
+    V0: block tuple; shd: optional NamedSharding for the [ncv+1, ddw, dup]
+    basis stacks (e.g. P(None, 'rows', None)).
+    Returns (evals [k], evecs — tuple of [k, ddw_b, dup_b], niter)."""
+    dim = sum(int(np.prod(v.shape)) for v in V0)
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    dt = V0[0].dtype
+    k = neigen
+    nrm = jnp.sqrt(tuple_real_dot(V0, V0))
+    V = tuple(jnp.zeros((ncv + 1,) + v.shape, dtype=dt).at[0].set(v / nrm)
+              for v in V0)
+    T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+    niter = 0
+    j0 = 0
+    restarts = max(1, int(np.ceil(maxiter / max(ncv - k, 1))))
+    evals = None
+    for it in range(restarts):
+        V, T, betas = _expand_blocks(spec, blocks, arrays, V, T, j0, ncv,
+                                     shd)
+        niter += ncv - j0
+        betas_h = np.asarray(betas)
+        m_eff = ncv
+        bad = np.nonzero(betas_h < _BREAKDOWN)[0]
+        if bad.size:
+            m_eff = j0 + int(bad[0]) + 1
+        Th = np.asarray(T[:m_eff, :m_eff])
+        evals_all, Y = np.linalg.eigh(Th)
+        k_eff = min(k, m_eff)
+        evals = evals_all[:k_eff]
+        beta_m = float(np.asarray(T[m_eff, m_eff - 1]).real) \
+            if m_eff < ncv + 1 else 0.0
+        resid = np.abs(beta_m * Y[m_eff - 1, :k_eff])
+        Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+
+        def ritz_vecs():
+            return tuple(jnp.einsum("mk,mij->kij", Yk, Vb[:m_eff])
+                         for Vb in V)
+
+        if np.all(resid < max(tol, 1e-14) * np.maximum(1.0, np.abs(evals))) \
+                or m_eff < ncv or niter >= maxiter:
+            return evals, ritz_vecs(), niter
+        ritz = ritz_vecs()
+        vres = tuple(Vb[m_eff] for Vb in V)
+        V = tuple(jnp.zeros((ncv + 1,) + Vb.shape[1:], dtype=dt)
+                  .at[:k_eff].set(r).at[k_eff].set(vr)
+                  for Vb, r, vr in zip(V, ritz, vres))
+        T = jnp.zeros((ncv + 1, ncv + 1), dtype=dt)
+        T = T.at[jnp.arange(k_eff), jnp.arange(k_eff)].set(
+            jnp.asarray(evals).astype(dt))
+        s = jnp.asarray(beta_m * Y[m_eff - 1, :k_eff], dtype=dt)
+        T = T.at[k_eff, :k_eff].set(jnp.conj(s))
+        T = T.at[:k_eff, k_eff].set(s)
+        j0 = k_eff
+    return evals, tuple(jnp.einsum("mk,mij->kij", Yk, Vb[:m_eff])
+                        for Vb in V), niter

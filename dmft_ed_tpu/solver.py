@@ -66,9 +66,14 @@ class EDSolver:
     """
 
     def __init__(self, cfg: EDConfig, hloc: Optional[np.ndarray] = None,
-                 suffix: str = "", log=None):
+                 suffix: str = "", log=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'rows' axis — sectors
+        above cfg.shard_dim_threshold then diagonalize and build their GF
+        resolvents row-sharded across devices (the production analogue of
+        the reference's MPI solver, ED_MAIN.f90:103-152, 284-327)."""
         cfg.validate()
         self.cfg = cfg
+        self.mesh = mesh
         self.suffix = suffix
         self.log = log if log is not None else (
             _default_log if cfg.ed_verbose > 0 else lambda m: None)
@@ -102,7 +107,8 @@ class EDSolver:
         # --- spectrum
         with self.timers("diagonalize"):
             slist, zeta, self.diag_state = diagonalize(
-                cfg, bath, self.hloc, self.diag_state, self.suffix, self.log)
+                cfg, bath, self.hloc, self.diag_state, self.suffix, self.log,
+                mesh=self.mesh)
         return self.solve_from_spectrum(bath, slist, zeta)
 
     def solve_from_spectrum(self, bath, slist, zeta, gf=None) -> SolveResult:
@@ -121,14 +127,16 @@ class EDSolver:
         if cfg.ed_mode == "normal":
             from .gf_normal import build_gf_normal, build_sigma_normal
             res.gmats, res.greal = gf if gf is not None else build_gf_normal(
-                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                mesh=self.mesh)
             res.smats, res.sreal, res.g0mats, res.g0real = \
                 build_sigma_normal(cfg, bath, self.hloc, res.gmats, res.greal)
         elif cfg.ed_mode == "superc":
             from .gf_superc import build_gf_superc, build_sigma_superc
             (res.gmats, res.greal, res.fmats, res.freal) = \
                 gf if gf is not None else build_gf_superc(
-                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                    mesh=self.mesh)
             (res.smats, res.sreal, res.smats_an, res.sreal_an,
              res.g0mats, res.g0real, res.f0mats, res.f0real) = \
                 build_sigma_superc(cfg, bath, self.hloc, res.gmats, res.greal,
@@ -136,7 +144,8 @@ class EDSolver:
         else:
             from .gf_nonsu2 import build_gf_nonsu2, build_sigma_nonsu2
             res.gmats, res.greal = build_gf_nonsu2(
-                cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                mesh=self.mesh)
             res.smats, res.sreal, res.g0mats, res.g0real = \
                 build_sigma_nonsu2(cfg, bath, self.hloc, res.gmats, res.greal)
         # --- susceptibilities
@@ -144,15 +153,18 @@ class EDSolver:
             from . import chi as chi_mod
             if cfg.chispin_flag:
                 res.chi_spin = chi_mod.build_chi_spin(
-                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                    mesh=self.mesh)
                 edio.write_chi(cfg, "spinChi", *res.chi_spin, self.suffix)
             if cfg.chidens_flag:
                 res.chi_dens = chi_mod.build_chi_dens(
-                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                    mesh=self.mesh)
                 edio.write_chi(cfg, "densChi", *res.chi_dens, self.suffix)
             if cfg.chipair_flag:
                 res.chi_pair = chi_mod.build_chi_pair(
-                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log)
+                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                    mesh=self.mesh)
                 edio.write_chi(cfg, "pairChi", *res.chi_pair, self.suffix)
         # --- observables + local energy
         with self.timers("observables"):

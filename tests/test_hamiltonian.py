@@ -183,3 +183,30 @@ def test_matvec_matches_dense():
         matvec2, _ = make_matvec(ham, cfg2)
         y3 = np.asarray(flatten_blocks(jax.jit(matvec2)(tuple(map(np.asarray, V)))))
         np.testing.assert_allclose(y3, y2, atol=1e-10)
+
+
+def test_matvec_op_spec_dtype_string():
+    """spec[-1] must be the dtype NAME ('complex128'), not the repr of the
+    scalar class — diag/_run_sharded key the v0 dtype off
+    spec[-1].startswith('complex'); a wrong string silently made complex
+    Lanczos sectors start from a real v0 (scan dtype crash)."""
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.bath import Bath
+    from dmft_ed_tpu.sectors import sector_table
+    from dmft_ed_tpu.hamiltonian import (build_sector_hamiltonian,
+                                         make_matvec_op)
+    import numpy as np
+    hloc = np.zeros((2, 2, 1, 1))
+    hloc[0, 1, 0, 0] = hloc[1, 0, 0, 0] = 0.2
+    cfg = EDConfig(norb=1, nbath=2, nspin=2, ed_mode="nonsu2").validate()
+    b = Bath(cfg)
+    sec = sector_table(cfg).get(3)
+    spec, _, _ = make_matvec_op(build_sector_hamiltonian(cfg, sec, b, hloc),
+                                cfg)
+    assert spec[-1] == "complex128"
+    cfgn = EDConfig(norb=1, nbath=2, nspin=1).validate()
+    secn = sector_table(cfgn).get(1, 1)
+    spec, _, _ = make_matvec_op(
+        build_sector_hamiltonian(cfgn, secn, Bath(cfgn),
+                                 np.zeros((1, 1, 1, 1))), cfgn)
+    assert spec[-1] == "float64"

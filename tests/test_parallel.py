@@ -115,3 +115,109 @@ def test_sharded_matvec_padded_rows():
     y8 = np.asarray(jax.jit(mv_sh)(vp))
     np.testing.assert_allclose(y8[:blk.ddw], y1, atol=1e-12)
     np.testing.assert_allclose(y8[blk.ddw:], 0.0, atol=1e-15)
+
+
+# ----------------------------------------------------------------------
+# production distributed solve: full ed_solve on the mesh == single device
+# (VERDICT round-1 item 1; the analogue of ED_MAIN.f90:284-327 under MPI)
+# ----------------------------------------------------------------------
+
+def _solve_pair(cfg, hloc=None, seed_bath=True):
+    """Run EDSolver with and without the 8-device mesh; sharding engages on
+    every Lanczos-solved sector (shard_dim_threshold below the sector
+    dims)."""
+    from dmft_ed_tpu.solver import EDSolver
+    from dmft_ed_tpu.bath import Bath, pack_bath
+    rng = np.random.default_rng(17)
+    results = []
+    for mesh in (None, make_mesh(n_rows=8, n_sites=1)):
+        s = EDSolver(cfg, hloc, log=lambda m: None, mesh=mesh)
+        b = Bath(cfg)
+        if seed_bath:
+            b.e[:] = np.linspace(-1.2, 1.2, cfg.nbath)[None, None, :]
+            b.v[:] = np.linspace(0.3, 0.6, cfg.nbath)[None, None, :]
+            if b.d is not None:
+                b.d[:] = 0.15
+            if b.u is not None:
+                b.u[:] = 0.1
+        results.append(s.solve(pack_bath(b)))
+    return results
+
+
+def _assert_equiv(r1, r8, atol=1e-8):
+    assert abs(r1.egs - r8.egs) < 1e-10
+    np.testing.assert_allclose(r8.gmats, r1.gmats, atol=atol)
+    np.testing.assert_allclose(r8.smats, r1.smats, atol=1e-6)
+    np.testing.assert_allclose(r8.observables.dens, r1.observables.dens,
+                               atol=1e-9)
+    np.testing.assert_allclose(r8.observables.docc, r1.observables.docc,
+                               atol=1e-9)
+    if r1.fmats is not None:
+        np.testing.assert_allclose(r8.fmats, r1.fmats, atol=atol)
+
+
+def test_ed_solve_sharded_normal(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(2.0,), beta=50.0,
+                   lmats=30, lreal=20, ed_verbose=0,
+                   lanc_dim_threshold=24, shard_dim_threshold=25,
+                   lanc_nstates_sector=2).validate()
+    r1, r8 = _solve_pair(cfg)
+    _assert_equiv(r1, r8)
+
+
+def test_ed_solve_sharded_superc(tmp_path, monkeypatch):
+    """Multi-block (Sz) sectors row-shard per block — the modes that most
+    need memory scaling (round-1 weak item 3)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(-2.0,), ed_mode="superc",
+                   deltasc=0.1, beta=50.0, lmats=30, lreal=20, ed_verbose=0,
+                   lanc_dim_threshold=60, shard_dim_threshold=61,
+                   lanc_nstates_sector=2).validate()
+    r1, r8 = _solve_pair(cfg)
+    _assert_equiv(r1, r8)
+
+
+def test_ed_solve_sharded_nonsu2(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    hloc = np.zeros((2, 2, 1, 1))
+    hloc[0, 1, 0, 0] = hloc[1, 0, 0, 0] = 0.2   # spin-mixing
+    cfg = EDConfig(norb=1, nbath=3, nspin=2, uloc=(1.5,), ed_mode="nonsu2",
+                   beta=50.0, lmats=30, lreal=20, ed_verbose=0,
+                   lanc_dim_threshold=32, shard_dim_threshold=33,
+                   lanc_nstates_sector=2).validate()
+    r1, r8 = _solve_pair(cfg, hloc)
+    _assert_equiv(r1, r8)
+
+
+def test_sharded_multiblock_matvec():
+    """Row-sharded padded multi-block (superc) operator == unsharded."""
+    from dmft_ed_tpu.parallel.hxv import (sharded_sector_op,
+                                          pad_flat_to_blocks,
+                                          unpad_blocks_to_flat)
+    from dmft_ed_tpu.hamiltonian import (make_matvec, unflatten_blocks,
+                                         flatten_blocks)
+    cfg = EDConfig(norb=1, nbath=5, nspin=1, uloc=(-2.0,), ed_mode="superc",
+                   deltasc=0.1, dense_matmul_threshold=8192).validate()
+    rng = np.random.default_rng(91)
+    bath = Bath(cfg)
+    bath.e[:] = np.linspace(-1, 1, cfg.nbath)[None, None, :]
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    bath.d[:] = 0.2
+    hloc = np.zeros((1, 1, 1, 1))
+    sec = sector_table(cfg).get(0)            # Sz = 0, 7 blocks
+    assert len(sec.blocks) > 1
+    ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+    mesh = make_mesh(n_rows=8, n_sites=1)
+    spec, arrays, blocks, sec_p, shd, shd_b = sharded_sector_op(
+        ham, cfg, mesh)
+    x = rng.normal(size=sec.dim)
+    mv1, _ = make_matvec(ham, cfg)
+    y1 = np.asarray(flatten_blocks(mv1(unflatten_blocks(jnp.asarray(x),
+                                                        sec))))
+    from dmft_ed_tpu.hamiltonian import apply_op
+    Vp = tuple(jax.device_put(jnp.asarray(v), shd)
+               for v in pad_flat_to_blocks(x, sec, sec_p))
+    y8 = unpad_blocks_to_flat(
+        jax.jit(lambda V: apply_op(spec, arrays, V))(Vp), sec)
+    np.testing.assert_allclose(y8, y1, atol=1e-12)
