@@ -256,6 +256,10 @@ def _rebuild_gs_blocks(spec, blocks, arrays, V0, alphas, y, n: int,
     block-tuple layout (PLAIN_LANCZOS.f90:189-397 two-pass scheme)."""
     from ..hamiltonian import apply_op
     from ..lanczos import tuple_real_dot, _constrain, _BREAKDOWN
+    rdt0 = jnp.float64 if V0[0].dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    alphas = alphas.astype(rdt0)   # avoid f64 promotion of f32/c64 leaves
+    y = y.astype(rdt0)
 
     def step(carry, j):
         v_prev, v, b_prev, acc = carry
@@ -269,8 +273,6 @@ def _rebuild_gs_blocks(spec, blocks, arrays, V0, alphas, y, n: int,
         return (v, _constrain(vn, shd), bj, acc), None
 
     zeros = tuple(jnp.zeros_like(v) for v in V0)
-    rdt = jnp.float64 if V0[0].dtype in (jnp.float64, jnp.complex128) \
-        else jnp.float32
-    init = (zeros, V0, jnp.asarray(0.0, rdt), zeros)
+    init = (zeros, V0, jnp.asarray(0.0, rdt0), zeros)
     carry, _ = jax.lax.scan(step, init, jnp.arange(n))
     return carry[3]
