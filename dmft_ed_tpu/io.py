@@ -37,20 +37,26 @@ def _orb_pairs(cfg: EDConfig):
     return [(a, b) for a in range(cfg.norb) for b in range(a, cfg.norb)]
 
 
+def _spin_tags(cfg: EDConfig, spin_offdiag: bool):
+    """(s1, s2, tag) triples. Nonsu2 always carries a two-digit spin tag
+    over s1<=s2 pairs (print_impSigma_nonsu2,
+    ED_IO/print_impSigma.f90:120-215: suffix='_s'//ispin//jspin); other
+    modes tag the diagonal spin only ('_s'//ispin)."""
+    if spin_offdiag:
+        return [(s1, s2, f"_s{s1 + 1}{s2 + 1}")
+                for s1 in range(cfg.nspin) for s2 in range(s1, cfg.nspin)]
+    return [(s, s, f"_s{s + 1}") for s in range(cfg.nspin)]
+
+
 def print_function(cfg: EDConfig, name: str, fmats, freal, suffix: str = "",
                    spin_offdiag: bool = False) -> None:
     """Write imp<name>_l<ij>_s<s>_{iw,realw}<suffix>.ed (print_impSigma /
     print_impG / print_impG0 layout)."""
     wm = grids.matsubara_fermionic(cfg)
     wr = grids.real_axis(cfg)
-    spins = [(s, s) for s in range(cfg.nspin)]
-    if spin_offdiag:
-        spins = [(s1, s2) for s1 in range(cfg.nspin)
-                 for s2 in range(cfg.nspin)]
-    for s1, s2 in spins:
+    for s1, s2, stag in _spin_tags(cfg, spin_offdiag):
         for a, b in _orb_pairs(cfg):
-            tag = f"_l{a + 1}{b + 1}_s{s1 + 1}" \
-                + (f"{s2 + 1}" if s1 != s2 else "")
+            tag = f"_l{a + 1}{b + 1}{stag}"
             if fmats is not None:
                 splot(f"imp{name}{tag}_iw{suffix}.ed", wm, fmats[s1, s2, a, b])
             if freal is not None:
@@ -58,23 +64,25 @@ def print_function(cfg: EDConfig, name: str, fmats, freal, suffix: str = "",
                       freal[s1, s2, a, b])
 
 
-def read_function(cfg: EDConfig, name: str, suffix: str = ""):
-    """Re-ingest printed Sigma/G files (ed_read_impSigma restart path)."""
+def read_function(cfg: EDConfig, name: str, suffix: str = "",
+                  spin_offdiag: bool = False):
+    """Re-ingest printed Sigma/G files (ed_read_impSigma restart path,
+    ED_IO/read_impSigma.f90; nonsu2 spin-offdiag variant :117-216)."""
     fm = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lmats),
                   dtype=complex)
     fr = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lreal),
                   dtype=complex)
-    for s in range(cfg.nspin):
+    for s1, s2, stag in _spin_tags(cfg, spin_offdiag):
         for a, b in _orb_pairs(cfg):
-            tag = f"_l{a + 1}{b + 1}_s{s + 1}"
+            tag = f"_l{a + 1}{b + 1}{stag}"
             pm = f"imp{name}{tag}_iw{suffix}.ed"
             pr = f"imp{name}{tag}_realw{suffix}.ed"
             if os.path.exists(pm):
-                fm[s, s, a, b] = sread(pm)
-                fm[s, s, b, a] = fm[s, s, a, b]
+                fm[s1, s2, a, b] = sread(pm)
+                fm[s1, s2, b, a] = fm[s1, s2, a, b]
             if os.path.exists(pr):
-                fr[s, s, a, b] = sread(pr)
-                fr[s, s, b, a] = fr[s, s, a, b]
+                fr[s1, s2, a, b] = sread(pr)
+                fr[s1, s2, b, a] = fr[s1, s2, a, b]
     return fm, fr
 
 
@@ -108,7 +116,7 @@ def write_observables(cfg: EDConfig, obs, egs: float, simp, zimp,
     add(obs.n2, "n2")
     add(zimp.T, "z")
     add(simp.T, "sig")
-    with open(f"observables_info.ed", "w") as fh:
+    with open(f"observables_info{suffix}.ed", "w") as fh:
         fh.write("#" + " ".join(f"{i + 1}{l}" for i, l in enumerate(labels))
                  + "\n")
     line = " ".join(f"{v:15.9f}" for v in cols)

@@ -126,6 +126,33 @@ class LatticeEDSolver:
     def get_mag(self) -> np.ndarray:
         return np.stack([r.observables.magz for r in self.results])
 
+    def get_greal(self) -> np.ndarray:
+        return np.stack([r.greal for r in self.results])
+
+    def get_eimp(self) -> np.ndarray:
+        return np.stack([s.get_eimp() for s in self.solvers])
+
+    def get_doubles(self) -> np.ndarray:
+        return np.stack([s.get_doubles() for s in self.solvers])
+
+    def get_phisc(self) -> np.ndarray:
+        return np.stack([r.observables.phisc for r in self.results])
+
+    def get_density_matrix(self) -> np.ndarray:
+        """[Nineq, Nso, Nso] (ed_get_density_matrix lattice variant)."""
+        return np.stack([r.observables.imp_density_matrix
+                         for r in self.results])
+
+    def get_neigen_total(self) -> np.ndarray:
+        """Per-site lanc_nstates_total after the finite-T feedback
+        (ed_get_neigen_total, ED_IO/get_lanc_info.f90)."""
+        return np.array([s.get_neigen_total() for s in self.solvers])
+
+    def get_quantum_soc_operators(self):
+        """Per-site <S>,<L>,<J>,<J^2>,<L.S>
+        (ed_get_quantum_SOC_operators_lattice, ED_IO/get_imp_SOC_op.f90:115)."""
+        return [s.get_quantum_soc_operators() for s in self.solvers]
+
     def chi2_fitgf(self, weiss_ineq: np.ndarray, baths: np.ndarray,
                    ispin=None, fg_an_ineq=None) -> np.ndarray:
         """Joint block-separable fit over sites (fit.chi2_fitgf_sites):

@@ -174,20 +174,22 @@ class EDSolver:
                                       finite_t)
         simp, zimp = quasiparticle_weight(cfg, res.smats)
         # --- file outputs (master-only in the reference; single-process here)
+        so = cfg.ed_mode == "nonsu2"    # spin-offdiag components in files
         if cfg.ed_print_sigma:
             edio.print_function(cfg, "Sigma", res.smats, res.sreal,
-                                self.suffix)
+                                self.suffix, spin_offdiag=so)
             if res.smats_an is not None:
                 edio.print_function(cfg, "Self", res.smats_an, res.sreal_an,
                                     self.suffix)
         if cfg.ed_print_g:
-            edio.print_function(cfg, "G", res.gmats, res.greal, self.suffix)
+            edio.print_function(cfg, "G", res.gmats, res.greal, self.suffix,
+                                spin_offdiag=so)
             if res.fmats is not None:
                 edio.print_function(cfg, "F", res.fmats, res.freal,
                                     self.suffix)
         if cfg.ed_print_g0:
             edio.print_function(cfg, "G0", res.g0mats, res.g0real,
-                                self.suffix)
+                                self.suffix, spin_offdiag=so)
             if res.f0mats is not None:
                 edio.print_function(cfg, "F0", res.f0mats, res.f0real,
                                     self.suffix)
@@ -219,8 +221,10 @@ class EDSolver:
     # ------------------------------------------------------------------
     def read_sigma(self):
         """Re-ingest printed impSigma files (ed_read_impSigma restart path,
-        ED_IO/read_impSigma.f90). Returns (Smats, Sreal)."""
-        return edio.read_function(self.cfg, "Sigma", self.suffix)
+        ED_IO/read_impSigma.f90). Returns (Smats, Sreal); nonsu2 restores
+        the spin-offdiagonal components too (:117-216)."""
+        return edio.read_function(self.cfg, "Sigma", self.suffix,
+                                  spin_offdiag=self.cfg.ed_mode == "nonsu2")
 
     # ------------------------------------------------------------------
     # ed_get_* accessors (ED_IO.f90:274-327)
@@ -258,3 +262,27 @@ class EDSolver:
     def get_doubles(self):
         E = self.result.energy
         return np.array([E.dust, E.dund, E.dse, E.dph])
+
+    def get_density_matrix(self):
+        """[Nso, Nso] impurity single-particle density matrix
+        (ed_get_density_matrix, ED_IO)."""
+        return self.result.observables.imp_density_matrix
+
+    def get_quantum_soc_operators(self):
+        """<S>, <L>, <J>, <J^2>, <L.S> of the t2g impurity shell from the
+        density matrix, rotated to the {t2g, Sz} frame
+        (ed_get_quantum_SOC_operators, ED_IO/get_imp_SOC_op.f90)."""
+        from .aux import quantum_soc_operators
+        ops = quantum_soc_operators(self.cfg,
+                                    self.result.observables.imp_density_matrix)
+        with open(f"J_imp{self.suffix}.ed", "w") as fh:
+            fh.write("# Jx Jy Jz Jx^2 Jy^2 Jz^2 L.S\n")
+            fh.write(" ".join(f"{v.real:18.12f}" for v in ops["J"])
+                     + " " + " ".join(f"{v.real:18.12f}" for v in ops["Jsq"])
+                     + f" {ops['LS'].real:18.12f}\n")
+        return ops
+
+    def get_neigen_total(self) -> int:
+        """Current lanc_nstates_total after the finite-T auto-tuning
+        feedback (ed_get_neigen_total, ED_IO/get_lanc_info.f90)."""
+        return int(self.diag_state.lanc_nstates_total)
