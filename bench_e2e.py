@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""End-to-end DMFT wall-clock benchmark on the real TPU (hybrid placement).
+
+The BASELINE.json north-star workload run as a *complete DMFT loop* on TPU
+hardware, not a kernel microbench (VERDICT round 1, item 2):
+
+- ``canonical``: ed_hm_bethe, Norb=1, Nbath=6, Nspin=1, beta=1000,
+  Lmats=Lreal=5000, dmft_error=1e-5 (drivers/ed_hm_bethe.f90:99-167,
+  ED_INPUT_VARS.f90:122-149). vs_baseline = 216.03 s, the converged CPU
+  run of this same framework (artifacts/canonical_bethe.json) — the
+  reference publishes no wall-clock numbers (BASELINE.md).
+- ``large``: the same Bethe loop with Nbath=11 (Ns=12; largest sector
+  dim 853k — the ed_nano-class scale where the reference needs its MPI
+  row-partitioned ARPACK), fixed iteration count, Krylov in
+  effective-f64 ozaki6 on the MXU. Reports seconds per DMFT iteration;
+  vs_baseline compares against a CPU run of the identical config when
+  artifacts/large_sector_cpu.json exists (run ``--workload large --cpu``
+  once to produce it).
+
+Device strategy: JAX_PLATFORMS=cpu,axon hybrid — the default backend is
+CPU (complex128 frequency algebra, fits, Dyson), while every op-form
+Krylov call auto-routes to the TPU (dmft_ed_tpu/device.py). With --cpu the
+whole loop runs on the CPU backend (baseline measurement mode).
+
+Prints one JSON line per workload:
+  {"metric", "value", "unit", "vs_baseline", ...}
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CANONICAL_CPU_S = 216.03   # artifacts/canonical_bethe.json wallclock_s
+LARGE_CPU_ART = os.path.join(REPO, "artifacts", "large_sector_cpu.json")
+
+
+def setup_jax(cpu: bool):
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_platforms", "cpu,axon")
+    jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def run_canonical(nloop: int):
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.models import hm_bethe
+    cfg = EDConfig(norb=1, nbath=6, nspin=1, uloc=(2.0,), beta=1000.0,
+                   lmats=5000, lreal=5000, dmft_error=1e-5, nloop=nloop,
+                   ed_verbose=0).validate()
+    t0 = time.time()
+    r = hm_bethe.run(cfg, le=500, wmixing=0.5)
+    dt = time.time() - t0
+    return r, dt, cfg
+
+
+def run_large(nloop: int, cpu: bool):
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.models import hm_bethe
+    # effective-f64 ozaki6 Krylov on the TPU MXU; exact BLAS f64 on CPU
+    cfg = EDConfig(norb=1, nbath=11, nspin=1, uloc=(2.0,), beta=100.0,
+                   lmats=1024, lreal=256, dmft_error=1e-12, nloop=nloop,
+                   lanc_niter=256, lanc_ngfiter=200, lanc_method="lanczos",
+                   matmul_precision="native" if cpu else "ozaki6",
+                   ed_verbose=0).validate()
+    t0 = time.time()
+    r = hm_bethe.run(cfg, le=300, wmixing=0.5)
+    dt = time.time() - t0
+    return r, dt, cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", default="canonical",
+                   choices=["canonical", "large", "both"])
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the CPU backend (baseline measurement)")
+    p.add_argument("--nloop", type=int, default=None)
+    p.add_argument("--keep-files", action="store_true")
+    args = p.parse_args()
+    setup_jax(args.cpu)
+    import jax
+    backend = "cpu" if args.cpu else "tpu-hybrid"
+    from dmft_ed_tpu.device import krylov_device
+    print(f"# backend={jax.default_backend()} krylov={krylov_device()}",
+          file=sys.stderr, flush=True)
+
+    workloads = ["canonical", "large"] if args.workload == "both" \
+        else [args.workload]
+    cwd = os.getcwd()
+    for wl in workloads:
+        with tempfile.TemporaryDirectory() as d:
+            os.chdir(cwd if args.keep_files else d)
+            try:
+                if wl == "canonical":
+                    nloop = args.nloop or 60
+                    r, dt, cfg = run_canonical(nloop)
+                    line = {
+                        "metric": "ed_hm_bethe DMFT loop wall-clock "
+                                  f"({backend})",
+                        "value": round(dt, 2), "unit": "s",
+                        "vs_baseline": round(CANONICAL_CPU_S / dt, 3),
+                        "converged": bool(r.converged),
+                        "error": float(r.error),
+                        "iterations": int(r.iterations),
+                        "s_per_iteration": round(dt / r.iterations, 2),
+                        "docc": float(r.docc[0]),
+                        "dens": float(r.dens[0]),
+                        "ekin": float(r.ekin),
+                    }
+                else:
+                    nloop = args.nloop or 3
+                    r, dt, cfg = run_large(nloop, args.cpu)
+                    per_it = dt / r.iterations
+                    base = None
+                    if os.path.exists(LARGE_CPU_ART):
+                        with open(LARGE_CPU_ART) as fh:
+                            base = json.load(fh)["s_per_iteration"]
+                    line = {
+                        "metric": "large-sector (dim 853k) DMFT iteration "
+                                  f"({backend})",
+                        "value": round(per_it, 2), "unit": "s/iter",
+                        "vs_baseline": (round(base / per_it, 3)
+                                        if base else None),
+                        "iterations": int(r.iterations),
+                        "total_s": round(dt, 2),
+                        "docc": float(r.docc[0]),
+                        "s_per_iteration": round(per_it, 2),
+                    }
+                    if args.cpu:
+                        os.makedirs(os.path.dirname(LARGE_CPU_ART),
+                                    exist_ok=True)
+                        with open(LARGE_CPU_ART, "w") as fh:
+                            json.dump(line, fh, indent=1)
+                print(json.dumps(line), flush=True)
+            finally:
+                os.chdir(cwd)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Hybrid host/accelerator placement for the Krylov hot path.
+
+TPU-native architecture decision (no reference equivalent — the reference
+runs everything on the CPU ranks): the *Krylov recurrences and sector
+matvecs* are the only FLOP-dense part of a solve and belong on the
+accelerator; the small complex frequency-domain algebra (Dyson inversions,
+bath analytics, chi^2 fits, pole accumulation) stays on the host CPU
+backend, which natively supports complex128 (TPUs do not) and where the
+O(Lmats*Norb^2) work is trivial.
+
+Activation: run with ``JAX_PLATFORMS=cpu,axon`` (or ``cpu,tpu``) so the
+*default* jax backend is CPU while the accelerator is still visible; this
+module then auto-routes every op-form Krylov call (lanczos.py entry
+points) to the accelerator, skipping ops whose dtype the accelerator
+cannot hold (complex128). When jax runs single-platform (tests: cpu;
+kernel bench: axon) everything stays on the default device and this
+module is a no-op. Override with DMFT_ED_KRYLOV_DEVICE=cpu|axon|tpu|none.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+# platforms with no complex128 support on device
+_NO_C128 = ("tpu", "axon")
+
+# Krylov problems below this many vector elements stay on the host: the
+# accelerator round-trip (20-40 ms tunnel dispatch + transfers + emulated
+# f64 at tiny shapes) loses to the CPU there — measured: the canonical
+# ed_hm_bethe (dims <= 1225) runs 8x SLOWER fully offloaded than on CPU,
+# while the dim ~1e6 sectors run 10-40x faster (PERF_NOTES.md).
+_MIN_DIM = int(os.environ.get("DMFT_ED_KRYLOV_MIN_DIM", 32768))
+
+
+@lru_cache(maxsize=1)
+def krylov_device():
+    """The device Krylov work should be committed to, or None to stay on
+    the jax default device."""
+    choice = os.environ.get("DMFT_ED_KRYLOV_DEVICE", "auto").lower()
+    if choice in ("none", ""):
+        return None
+    if choice != "auto":
+        try:
+            return jax.devices(choice)[0]
+        except RuntimeError:
+            return None
+    # auto: only route when the default backend is CPU but an accelerator
+    # platform is also registered (the hybrid JAX_PLATFORMS=cpu,... mode)
+    if jax.default_backend() != "cpu":
+        return None
+    for plat in ("tpu", "axon", "gpu"):
+        try:
+            return jax.devices(plat)[0]
+        except RuntimeError:
+            continue
+    return None
+
+
+def _holds(dev, dtype) -> bool:
+    if dev.platform in _NO_C128 and jnp.dtype(dtype) == jnp.complex128:
+        return False
+    return True
+
+
+def place_krylov(arrays, v0):
+    """device_put (arrays, v0) onto the Krylov accelerator when active and
+    the dtypes are representable there; no-op (and no transfer) otherwise
+    or when already committed."""
+    dev = krylov_device()
+    if dev is None:
+        return arrays, v0
+    size = sum(v.size for v in v0) if isinstance(v0, tuple) \
+        else jnp.asarray(v0).size
+    if size < _MIN_DIM:
+        return arrays, v0
+    dts = [a.dtype for a in arrays] + (
+        [v.dtype for v in v0] if isinstance(v0, tuple)
+        else [jnp.asarray(v0).dtype])
+    if not all(_holds(dev, dt) for dt in dts):
+        return arrays, v0
+    arrays = tuple(jax.device_put(a, dev) for a in arrays)
+    if isinstance(v0, tuple):
+        v0 = tuple(jax.device_put(v, dev) for v in v0)
+    else:
+        v0 = jax.device_put(v0, dev)
+    return arrays, v0

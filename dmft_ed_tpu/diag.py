@@ -331,13 +331,46 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
                 _collect(cfg, table, slists[i], sec, evals, evecs,
                          finite_t, states[i], oldzero, i)
         else:
-            for i in range(nsites):
-                ham = build_sector_hamiltonian(cfgs[i], sec, baths[i],
-                                               hlocs[i])
-                evals, evecs = _solve_sector_lanczos(cfg, ham, neigen[i],
-                                                     rng)
-                _collect(cfg, table, slists[i], sec, evals, evecs,
-                         finite_t, states[i], oldzero, i)
+            # large-sector site-batched Lanczos: stack the structurally
+            # identical per-site operators and run ONE lockstep
+            # thick-restart over the site axis (eigs_lanczos_op_stacked) —
+            # the device batch replacing the reference's round-robin MPI
+            # site loop (ED_MAIN.f90:576-678) at Lanczos scale
+            from .lanczos import eigs_lanczos_op_stacked
+            hams = [build_sector_hamiltonian(cfgs[i], sec, baths[i],
+                                             hlocs[i]) for i in range(nsites)]
+            ops = [make_matvec_op(h, cfgs[i]) for i, h in enumerate(hams)]
+            specs = {(o[0], o[2]) for o in ops}
+            ne = max(neigen)
+            if len(specs) == 1 and nsites > 1:
+                spec, _, blocks = ops[0]
+                arrays_stacked = tuple(
+                    jnp.stack([ops[i][1][a] for i in range(nsites)])
+                    for a in range(len(ops[0][1])))
+                cplx = spec[-1].startswith("complex")
+                v0 = rng.normal(size=(nsites, sec.dim))
+                if cplx:
+                    v0 = v0 + 1j * rng.normal(size=(nsites, sec.dim))
+                v0 = jnp.asarray(v0, dtype=jnp.complex128 if cplx
+                                 else jnp.dtype(cfg.dtype))
+                ncv = min(sec.dim, cfg.lanc_ncv_factor
+                          * max(ne, cfg.lanc_nstates_sector)
+                          + cfg.lanc_ncv_add)
+                evals_b, evecs_b, _ = eigs_lanczos_op_stacked(
+                    spec, blocks, arrays_stacked, v0, ne, ncv,
+                    maxiter=min(sec.dim, cfg.lanc_niter),
+                    tol=cfg.lanc_tolerance)
+                for i in range(nsites):
+                    k = min(neigen[i], len(evecs_b[i]))
+                    _collect(cfg, table, slists[i], sec,
+                             np.asarray(evals_b[i][:k]), evecs_b[i][:k],
+                             finite_t, states[i], oldzero, i)
+            else:
+                for i in range(nsites):
+                    evals, evecs = _solve_sector_lanczos(cfg, hams[i],
+                                                         neigen[i], rng)
+                    _collect(cfg, table, slists[i], sec, evals, evecs,
+                             finite_t, states[i], oldzero, i)
     zetas = [sl.partition_function(cfg.beta, finite_t) for sl in slists]
     return slists, zetas, states
 

@@ -101,13 +101,18 @@ def krylov_poles(cfg: EDConfig, cache: HamCache, jsec: Sector,
 
 def accumulate_poles(z: np.ndarray, weights: np.ndarray, poles: np.ndarray,
                      isign: int) -> np.ndarray:
-    """G(z) += Σ_j w_j / (z - isign*dE_j), vectorized over (poles x freqs)."""
+    """G(z) += Σ_j w_j / (z - isign*dE_j), vectorized over (poles x freqs).
+
+    Host numpy on purpose: this is O(npoles * L) complex128 work — trivial
+    on CPU and unrepresentable on TPU (no complex128); under hybrid
+    placement (device.py) only the Krylov recurrences ride the
+    accelerator."""
     if weights.size == 0:
         return np.zeros(z.shape, dtype=complex)
-    zz = jnp.asarray(z)[None, :]
-    pp = jnp.asarray(isign * poles)[:, None]
-    ww = jnp.asarray(weights)[:, None]
-    return np.asarray(jnp.sum(ww / (zz - pp), axis=0))
+    zz = np.asarray(z)[None, :]
+    pp = isign * np.asarray(poles)[:, None]
+    ww = np.asarray(weights)[:, None]
+    return np.sum(ww / (zz - pp), axis=0)
 
 
 def state_iter(slist: StateList):

@@ -225,7 +225,7 @@ def lanczos_ground_state(matvec: Callable, v0: jnp.ndarray,
         w = matvec(v)
         aj = alphas[j]
         w = w - aj * v - b_prev * v_prev
-        bj = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
+        bj = jnp.sqrt(precise_dot(w, w))   # f64 TPU reduce pathology fix
         vn = w / jnp.where(bj > _BREAKDOWN, bj, 1.0)
         return (v, vn, bj, acc), None
 
@@ -260,8 +260,7 @@ def _unflatten_blocks_static(x, blocks):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 4))
-def lanczos_tridiag_op(spec, blocks, arrays, v0, niter: int):
-    """lanczos_tridiag with the operator in spec/arrays form."""
+def _lanczos_tridiag_op_jit(spec, blocks, arrays, v0, niter: int):
     from .hamiltonian import apply_op
 
     def mv(x):
@@ -269,6 +268,14 @@ def lanczos_tridiag_op(spec, blocks, arrays, v0, niter: int):
         return _flatten_tuple(apply_op(spec, arrays, V))
 
     return _lanczos_tridiag_impl(mv, v0, niter)
+
+
+def lanczos_tridiag_op(spec, blocks, arrays, v0, niter: int):
+    """lanczos_tridiag with the operator in spec/arrays form. Routes to
+    the Krylov accelerator under hybrid placement (device.py)."""
+    from .device import place_krylov
+    arrays, v0 = place_krylov(arrays, v0)
+    return _lanczos_tridiag_op_jit(spec, blocks, arrays, v0, niter)
 
 
 def _lanczos_tridiag_impl(matvec, v0, niter: int):
@@ -311,6 +318,8 @@ def _expand_op(spec, blocks, arrays, V, T, j0: int, m: int):
 def eigs_lanczos_op(spec, blocks, arrays, v0, neigen, ncv, maxiter=512,
                     tol=1e-12):
     """Thick-restart Lanczos with stable compile keys (see eigs_lanczos)."""
+    from .device import place_krylov
+    arrays, v0 = place_krylov(arrays, v0)
     dim = v0.shape[0]
     neigen = min(neigen, dim)
     ncv = int(min(max(ncv, neigen + 2), dim))
@@ -360,11 +369,7 @@ def eigs_lanczos_op(spec, blocks, arrays, v0, neigen, ncv, maxiter=512,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 4))
-def lanczos_tridiag_op_batched(spec, blocks, arrays, V0, niter: int):
-    """vmapped 3-term recurrence: V0 [B, dim] -> (alphas [B, niter],
-    betas [B, niter], nsteps [B]). One compiled scan serves every GF
-    channel targeting the same sector — the device-side batching the
-    reference's per-channel serial Lanczos loops never had."""
+def _lanczos_tridiag_op_batched_jit(spec, blocks, arrays, V0, niter: int):
     from .hamiltonian import apply_op
 
     def mv(x):
@@ -377,6 +382,127 @@ def lanczos_tridiag_op_batched(spec, blocks, arrays, V0, niter: int):
     return jax.vmap(one)(V0)
 
 
+def lanczos_tridiag_op_batched(spec, blocks, arrays, V0, niter: int):
+    """vmapped 3-term recurrence: V0 [B, dim] -> (alphas [B, niter],
+    betas [B, niter], nsteps [B]). One compiled scan serves every GF
+    channel targeting the same sector — the device-side batching the
+    reference's per-channel serial Lanczos loops never had."""
+    from .device import place_krylov
+    arrays, V0 = place_krylov(arrays, V0)
+    return _lanczos_tridiag_op_batched_jit(spec, blocks, arrays, V0, niter)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _expand_op_stacked(spec, blocks, arrays_stacked, V, T, j0: int, m: int):
+    """vmapped `_expand_op` over a stack of structurally identical
+    operators: V [S, m+1, dim], T [S, m+1, m+1]."""
+    from .hamiltonian import apply_op
+
+    def one(arrays, Vs, Ts):
+        def mv(x):
+            Vb = _unflatten_blocks_static(x, blocks)
+            return _flatten_tuple(apply_op(spec, arrays, Vb))
+        return _expand(mv, Vs, Ts, j0, m)
+
+    return jax.vmap(one)(arrays_stacked, V, T)
+
+
+def eigs_lanczos_op_stacked(spec, blocks, arrays_stacked, V0, neigen, ncv,
+                            maxiter=512, tol=1e-12):
+    """Lockstep thick-restart Lanczos over S structurally identical
+    operators (the same sector on S inequivalent lattice sites): ONE
+    compiled basis expansion serves every site per restart — the
+    large-sector replacement of the reference's round-robin MPI site loop
+    (ED_MAIN.f90:576-678). Same Rayleigh-Ritz/restart logic as
+    eigs_lanczos_op, run per site on the host over the small projected
+    matrices; a site that converges (or hits an exact-subspace breakdown)
+    is finalized and frozen while the rest keep restarting.
+
+    V0: [S, dim]. Returns (evals [S, neigen], evecs list of [k_eff, dim],
+    iterations)."""
+    from .device import place_krylov
+    arrays_stacked, V0 = place_krylov(arrays_stacked, V0)
+    S, dim = V0.shape
+    neigen = min(neigen, dim)
+    ncv = int(min(max(ncv, neigen + 2), dim))
+    dt = V0.dtype
+    k = neigen
+    V = jnp.zeros((S, ncv + 1, dim), dtype=dt)
+    V = V.at[:, 0].set(V0 / jnp.linalg.norm(V0, axis=1, keepdims=True))
+    T = jnp.zeros((S, ncv + 1, ncv + 1), dtype=dt)
+    niter = 0
+    j0 = 0
+    restarts = max(1, int(np.ceil(maxiter / max(ncv - k, 1))))
+    done = np.zeros(S, dtype=bool)
+    out_evals = [None] * S
+    out_evecs = [None] * S
+    for it in range(restarts):
+        V, T, betas = _expand_op_stacked(spec, blocks, arrays_stacked, V, T,
+                                         j0, ncv)
+        niter += ncv - j0
+        betas_h = np.asarray(betas)                      # [S, ncv - j0]
+        Th = np.asarray(T)
+        finish, Yks, meffs = [], {}, {}
+        for s in range(S):
+            if done[s]:
+                continue
+            m_eff = ncv
+            bad = np.nonzero(betas_h[s] < _BREAKDOWN)[0]
+            if bad.size:
+                m_eff = j0 + int(bad[0]) + 1
+            evals_all, Y = np.linalg.eigh(Th[s, :m_eff, :m_eff])
+            k_eff = min(k, m_eff)
+            beta_m = float(Th[s, m_eff, m_eff - 1].real) \
+                if m_eff < ncv + 1 else 0.0
+            resid = np.abs(beta_m * Y[m_eff - 1, :k_eff])
+            conv = np.all(resid < max(tol, 1e-14)
+                          * np.maximum(1.0, np.abs(evals_all[:k_eff])))
+            if conv or m_eff < ncv or niter >= maxiter \
+                    or it == restarts - 1:
+                finish.append(s)
+                done[s] = True
+                out_evals[s] = evals_all[:k_eff]
+            Yks[s] = (Y, m_eff, k_eff, evals_all)
+            meffs[s] = m_eff
+        for s in finish:
+            Y, m_eff, k_eff, _ = Yks[s]
+            Yk = jnp.asarray(Y[:, :k_eff], dtype=dt)
+            out_evecs[s] = Yk.T @ V[s, :m_eff]
+        if done.all():
+            break
+        # --- thick restart for the sites still running (m_eff == ncv for
+        # all of them, so the update is uniform and vectorizes)
+        Ystack = np.zeros((S, ncv, k), dtype=np.asarray(Th).dtype)
+        svals = np.zeros((S, k), dtype=Ystack.dtype)
+        evs = np.zeros((S, k), dtype=float)
+        for s in range(S):
+            if done[s] or s not in Yks:
+                continue
+            Y, m_eff, k_eff, evals_all = Yks[s]
+            Ystack[s] = Y[:, :k]
+            beta_m = float(Th[s, m_eff, m_eff - 1].real)
+            svals[s] = beta_m * Y[m_eff - 1, :k]
+            evs[s] = evals_all[:k]
+        Yk_d = jnp.asarray(Ystack, dtype=dt)
+        ritz = jnp.einsum("sjk,sjd->skd", Yk_d, V[:, :ncv])
+        vres = V[:, ncv]
+        V_new = jnp.zeros((S, ncv + 1, dim), dtype=dt)
+        V_new = V_new.at[:, :k].set(ritz)
+        V_new = V_new.at[:, k].set(vres)
+        Tn = np.zeros((S, ncv + 1, ncv + 1), dtype=np.asarray(Th).dtype)
+        for s in range(S):
+            Tn[s, np.arange(k), np.arange(k)] = evs[s]
+            Tn[s, k, :k] = np.conj(svals[s])
+            Tn[s, :k, k] = svals[s]
+        keep = jnp.asarray(done)[:, None, None]
+        V = jnp.where(keep, V, V_new)
+        T = jnp.where(keep, T, jnp.asarray(Tn, dtype=dt))
+        j0 = k
+    evals = np.stack([np.pad(e, (0, k - len(e)), constant_values=np.inf)
+                      for e in out_evals])
+    return evals, out_evecs, niter
+
+
 def lanczos_tridiag_op_stacked(spec, blocks, arrays_stacked, V0, niter: int):
     """Doubly-vmapped 3-term recurrence over a stack of structurally
     identical operators: arrays_stacked is the spec's array tuple with a
@@ -387,6 +513,8 @@ def lanczos_tridiag_op_stacked(spec, blocks, arrays_stacked, V0, niter: int):
     sectors axis the reference distributes round-robin over MPI ranks
     (ED_MAIN.f90:576-678) becomes a device batch axis."""
     from .hamiltonian import apply_op
+    from .device import place_krylov
+    arrays_stacked, V0 = place_krylov(arrays_stacked, V0)
 
     def one(arrays, v0):
         def mv(x):

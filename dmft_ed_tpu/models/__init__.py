@@ -16,15 +16,26 @@ Families:
   kspace              generic k-space loop + square/graphene/haldane/
                       kane-mele Bloch Hamiltonians
   nano                real-space DMFT over arbitrary Hij + site symmetry
+                      (run_sc: the superc ed_nano_sc variant)
   tblg                twisted-bilayer-graphene Wannier flat bands (file-driven Hk)
   hm_square_lattice   square-flake geometry wrapper over nano
+  ehm_bethe           extended Hubbard (Hartree W0 shift, ed_ehm_bethe)
+  ahm_2bands          2-band attractive-U, bandwidth ratio alpha
+  bhz_afm             BHZ AFM supercells (afm2/afm4 2D, afm8 3D)
+  wsm_slab            Weyl-semimetal slab, layer-resolved DMFT
+  blg                 bilayer graphene AA/AB stackings (4-sublattice)
+  lattice_loop        shared inequivalent-site k-space DMFT loop
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
                tblg, ahm_square, bhz_3d, ahm_stripe, haldane_sc,
-               kspace_afm, material, bhz_edge)
+               kspace_afm, material, bhz_edge, ehm_bethe, ahm_2bands,
+               bhz_afm, wsm_slab, blg, lattice_loop)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
-           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d", "ahm_stripe", "haldane_sc", "kspace_afm", "material", "bhz_edge"]
+           "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d",
+           "ahm_stripe", "haldane_sc", "kspace_afm", "material", "bhz_edge",
+           "ehm_bethe", "ahm_2bands", "bhz_afm", "wsm_slab", "blg",
+           "lattice_loop"]

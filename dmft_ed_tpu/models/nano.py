@@ -96,6 +96,79 @@ def hexagon_isoc_hij(t: float = 1.0, lam: float = 0.1):
     return H, np.zeros(n, dtype=int)
 
 
+@dataclass
+class NanoScResult:
+    converged: bool
+    iterations: int
+    baths: np.ndarray
+    smats_ineq: np.ndarray
+    smats_an_ineq: np.ndarray
+    dens: np.ndarray
+    docc: np.ndarray
+    phisc: np.ndarray     # per lattice site
+    error: float
+
+
+def run_sc(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
+           wmixing: float = 0.5, phsym: bool = False,
+           log=None) -> NanoScResult:
+    """Superconducting real-space DMFT on a finite structure
+    (drivers/ed_nano_sc.f90): per-site Nambu Gloc from the doubled
+    real-space BdG inversion (gloc_realspace_superc), per-site (G, F)
+    Weiss update, joint anomalous bath fit — with the nano driver's
+    site-symmetry reduction (ilat2ineq) the all-inequivalent
+    ed_ahm_disorder loop does not have."""
+    from ..lattice import gloc_realspace_superc, self_consistency_superc
+    cfg = cfg.validate()
+    assert cfg.ed_mode == "superc" and cfg.norb == 1 and cfg.nspin == 1
+    _log = log if log is not None else (print if cfg.ed_verbose > 0
+                                        else lambda *a, **k: None)
+    nlat = hij.shape[0]
+    lat2ineq = np.asarray(lat2ineq)
+    nineq = int(lat2ineq.max()) + 1
+    ineq2lat = np.array([np.nonzero(lat2ineq == i)[0][0]
+                         for i in range(nineq)])
+    hloc_lat = lso2nnn(hij, nlat, 1, 1)
+    hloc_ineq = hloc_lat[ineq2lat]
+    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
+    baths = lsolver.init_solvers()
+    baths_prev = baths.copy()
+    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
+    converged, iloop = False, 0
+    while not converged and iloop < cfg.nloop:
+        iloop += 1
+        _log(f"--- nano-SC DMFT loop {iloop}/{cfg.nloop} "
+             f"({nineq} ineq of {nlat} sites) ---")
+        lsolver.solve(baths)
+        smats_ineq = lsolver.get_sigma_matsubara()
+        samats_ineq = np.stack([r.smats_an for r in lsolver.results])
+        gm, fm = gloc_realspace_superc(cfg, hij, smats_ineq[lat2ineq],
+                                       samats_ineq[lat2ineq], "mats")
+        gm_i, fm_i = gm[ineq2lat], fm[ineq2lat]
+        wn = np.zeros_like(gm_i)
+        wa = np.zeros_like(fm_i)
+        for i in range(nineq):
+            wn[i], wa[i] = self_consistency_superc(
+                cfg, gm_i[i], fm_i[i], smats_ineq[i], samats_ineq[i],
+                hloc_ineq[i])
+        baths = lsolver.chi2_fitgf(wn, baths, ispin=0, fg_an_ineq=wa)
+        if phsym:
+            for i in range(nineq):
+                baths[i] = ph_symmetrize_bath(cfg, baths[i])
+        if iloop > 1:
+            baths = wmixing * baths + (1 - wmixing) * baths_prev
+        baths_prev = baths.copy()
+        converged = monitor.check(wn[0, 0, 0, 0, 0], log=_log)
+    phisc = np.stack([r.observables.phisc for r in lsolver.results])
+    return NanoScResult(converged=converged, iterations=iloop, baths=baths,
+                        smats_ineq=lsolver.get_sigma_matsubara(),
+                        smats_an_ineq=np.stack(
+                            [r.smats_an for r in lsolver.results]),
+                        dens=lsolver.get_dens()[lat2ineq][:, 0],
+                        docc=lsolver.get_docc()[lat2ineq][:, 0],
+                        phisc=phisc[lat2ineq][:, 0], error=monitor.error)
+
+
 def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
         wmixing: float = 0.5, phsym: bool = False, sb_field_sign=None,
         log=None) -> NanoResult:

@@ -56,3 +56,65 @@ def test_cross_site_batched_gf_matches_per_site():
         gm, gr = build_gf_normal(cfg, sl, z, ub, s.hloc, finite_t)
         np.testing.assert_allclose(results[i].gmats, gm, atol=1e-10)
         np.testing.assert_allclose(results[i].greal, gr, atol=1e-10)
+
+
+def test_diagonalize_sites_large_sector_stacked_lanczos():
+    """dim > lanc_dim_threshold sectors route through ONE lockstep stacked
+    thick-restart (eigs_lanczos_op_stacked) — ground states must match the
+    per-site sweep to Lanczos tolerance (VERDICT round 1, item 5)."""
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(1.8,), beta=50.0,
+                   lanc_dim_threshold=24).validate()   # dims up to 100
+    rng = np.random.default_rng(121)
+    nsites = 3
+    baths, hlocs = [], []
+    for i in range(nsites):
+        b = Bath(cfg)
+        b.e[:] = np.sort(rng.normal(size=b.e.shape), axis=-1)
+        b.v[:] = rng.uniform(0.3, 0.8, size=b.v.shape)
+        baths.append(b)
+        h = np.zeros((1, 1, 1, 1))
+        h[0, 0, 0, 0] = rng.normal() * 0.3
+        hlocs.append(h)
+    sl_b, z_b, _ = diagonalize_sites(cfg, baths, hlocs)
+    for i in range(nsites):
+        sl, z, _ = diagonalize(cfg, baths[i], hlocs[i], None)
+        assert abs(sl_b[i].emin - sl.emin) < 1e-9, i
+        assert abs(z_b[i] - z) < 1e-8
+        assert (next(iter(sl_b[i])).sector.index
+                == next(iter(sl)).sector.index)
+
+
+def test_resolvent_batch_groups_across_sectors(monkeypatch):
+    """Channels targeting DIFFERENT but equal-shape sectors (e.g. the
+    (nup+1,ndw) and (nup,ndw+1) mirrors) must merge into ONE stacked
+    Lanczos call (TODO round 1: cross-sector GF batching)."""
+    import jax.numpy as jnp
+    from dmft_ed_tpu import lanczos as lz
+    from dmft_ed_tpu import gf_common
+    from dmft_ed_tpu.gf_common import ResolventBatch, HamCache
+    from dmft_ed_tpu.sectors import sector_table
+
+    cfg = EDConfig(norb=1, nbath=4, nspin=1, uloc=(2.0,)).validate()
+    rng = np.random.default_rng(5)
+    b = Bath(cfg)
+    b.e[:] = np.linspace(-1, 1, 4)
+    b.v[:] = 0.5
+    hloc = np.zeros((1, 1, 1, 1))
+    table = sector_table(cfg)
+    s1, s2 = table.get(2, 3), table.get(3, 2)   # equal-shape mirrors
+    cache = HamCache(cfg, b, hloc)
+    batch = ResolventBatch(cfg, cache, egs=0.0, zeta=1.0, finite_t=False)
+    batch.add(s1, rng.normal(size=s1.dim), 0.0, {"c": 1})
+    batch.add(s2, rng.normal(size=s2.dim), 0.0, {"c": 2})
+    calls = []
+    orig = lz.lanczos_tridiag_op_stacked
+
+    def spy(spec, blocks, arrays_stacked, V0, niter):
+        calls.append(V0.shape)
+        return orig(spec, blocks, arrays_stacked, V0, niter)
+
+    monkeypatch.setattr(lz, "lanczos_tridiag_op_stacked", spy)
+    out = list(batch.run())
+    assert len(out) == 2
+    assert len(calls) == 1, calls          # ONE stacked call for both
+    assert calls[0][0] == 2                # both sectors on the stack axis
