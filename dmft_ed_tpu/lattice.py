@@ -471,6 +471,58 @@ def gij_realspace(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
     return out
 
 
+def gloc_realspace_full(cfg: EDConfig, hij: np.ndarray,
+                        sigma_lat: np.ndarray, axis: str = "real",
+                        lead=None) -> np.ndarray:
+    """FULL (site-offdiagonal) real-space GF
+    G = [(z+mu)I - Hij - Σ - Σ_lead]^{-1}, returned as the raw
+    [Nlso, Nlso, L] matrix (nonlocal propagators for transport and the
+    effective-exchange kernel, ed_nano_fix_trans.f90 ed_get_jeff).
+    `lead`: optional [Nlso, Nlso] or [Nlso, Nlso, L] lead self-energy."""
+    z = grids.z_mats(cfg) if axis == "mats" else grids.z_real(cfg)
+    ns_, no = cfg.nspin, cfg.norb
+    nso = ns_ * no
+    nlat = sigma_lat.shape[0]
+    nlso = nlat * nso
+    L = len(z)
+    sig_so = sigma_lat.transpose(0, 1, 3, 2, 4, 5).reshape(nlat, nso, nso, L)
+    out = np.zeros((nlso, nlso, L), dtype=complex)
+    for i, zz in enumerate(z):
+        S = np.zeros((nlso, nlso), dtype=complex)
+        for k in range(nlat):
+            S[k * nso:(k + 1) * nso, k * nso:(k + 1) * nso] = \
+                sig_so[k, :, :, i]
+        if lead is not None:
+            S = S + (lead[..., i] if np.ndim(lead) == 3 else lead)
+        out[:, :, i] = np.linalg.inv(
+            (zz + cfg.xmu) * np.eye(nlso) - hij - S)
+    return out
+
+
+def effective_exchange(cfg: EDConfig, gret_full: np.ndarray,
+                       sreal_lat: np.ndarray) -> np.ndarray:
+    """Effective non-local magnetic exchange from the converged solution
+    (ed_get_jeff, ed_nano_fix_trans.f90:930-1010):
+
+        J_ij = (1/pi) Im Σ_w f(w) ΔΣ_i(w) G↑_ij(w) ΔΣ_j(w) G↓_ji(w)
+
+    with ΔΣ = (Σ↑ - Σ↓)/2 (Nspin=2, Norb=1). gret_full: the FULL
+    retarded real-space GF [Nlso, Nlso, Lreal] (site-major (site, spin));
+    sreal_lat: [Nlat, 2, 2, 1, 1, Lreal]. Returns jeff [Nlat, Nlat]."""
+    assert cfg.nspin == 2 and cfg.norb == 1, \
+        "ed_get_jeff: Nspin=2, Norb=1 (ed_nano_fix_trans.f90:961-962)"
+    wr = grids.real_axis(cfg)
+    fw = 1.0 / (1.0 + np.exp(np.clip(cfg.beta * wr, -500, 500)))
+    nlat = sreal_lat.shape[0]
+    dsig = 0.5 * (sreal_lat[:, 0, 0, 0, 0] - sreal_lat[:, 1, 1, 0, 0])
+    # site-major (site, spin) layout: up index 2i, down index 2i+1
+    gup = gret_full[0::2, 0::2]           # [Nlat, Nlat, L]
+    gdw = gret_full[1::2, 1::2]
+    kern = (dsig[:, None, :] * gup * dsig[None, :, :]
+            * gdw.transpose(1, 0, 2)) * fw[None, None, :]
+    return np.imag(kern.sum(axis=-1)) / np.pi
+
+
 def transmission(cfg: EDConfig, hij: np.ndarray, sigma_lat: np.ndarray,
                  gamma_l: np.ndarray, gamma_r: np.ndarray) -> np.ndarray:
     """Landauer transmission T(w) = Tr[Γ_L G^r Γ_R G^a] on the real axis

@@ -25,17 +25,18 @@ Families:
   wsm_slab            Weyl-semimetal slab, layer-resolved DMFT
   blg                 bilayer graphene AA/AB stackings (4-sublattice)
   lattice_loop        shared inequivalent-site k-space DMFT loop
+  soc_ineq            t2g+SOC inequivalent sites (ed_SOC_ineq)
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
                tblg, ahm_square, bhz_3d, ahm_stripe, haldane_sc,
                kspace_afm, material, bhz_edge, ehm_bethe, ahm_2bands,
-               bhz_afm, wsm_slab, blg, lattice_loop)
+               bhz_afm, wsm_slab, blg, lattice_loop, soc_ineq)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
            "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d",
            "ahm_stripe", "haldane_sc", "kspace_afm", "material", "bhz_edge",
            "ehm_bethe", "ahm_2bands", "bhz_afm", "wsm_slab", "blg",
-           "lattice_loop"]
+           "lattice_loop", "soc_ineq"]

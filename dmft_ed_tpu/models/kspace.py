@@ -94,6 +94,68 @@ def hk_square(nk: int = 32, t: float = 0.25, nso: int = 1) -> np.ndarray:
     return np.eye(nso)[:, :, None] * eps[None, None, :]
 
 
+def hk_square_2nn(nk: int = 32, ts: float = 0.25, tsp: float = 0.0,
+                  nso: int = 1) -> np.ndarray:
+    """Square lattice with 2nd-neighbor hopping (ed_hm_square_2nn.f90
+    hk_model): eps(k) = -2 ts (cos kx + cos ky) - 4 tsp cos kx cos ky."""
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    eps = np.array([-2 * ts * (np.cos(kx) + np.cos(ky))
+                    - 4 * tsp * np.cos(kx) * np.cos(ky)
+                    for kx in ks for ky in ks])
+    return np.eye(nso)[:, :, None] * eps[None, None, :]
+
+
+def hk_daghofer(nk: int = 24, alpha: float = 1.0, theta: float = 0.0,
+                etanm: float = 0.0) -> np.ndarray:
+    """Daghofer 3-band model for the pnictides (ed_hm_daghofer.f90
+    hk_model: fixed t1..t8 set, dxy = 0.4 - theta crystal field,
+    xmu_tb = 0.212 tight-binding shift, etanm nematic splitting).
+    Returns [3, 3, Nk^2]."""
+    t1, t2, t3, t4 = 0.02, 0.06, 0.03, -0.01
+    t5, t6, t7 = 0.2 * alpha, 0.3 * alpha, -0.2 * alpha
+    t8 = -t7 / 2.0
+    dxy = 0.4 - theta
+    xmu_tb = 0.212
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    hks = []
+    for kx in ks:
+        for ky in ks:
+            h = np.zeros((3, 3), dtype=complex)
+            h[0, 0] = (2 * t2 * np.cos(kx) + 2 * t1 * np.cos(ky)
+                       + 4 * t3 * np.cos(kx) * np.cos(ky) - xmu_tb + etanm)
+            h[1, 1] = (2 * t1 * np.cos(kx) + 2 * t2 * np.cos(ky)
+                       + 4 * t3 * np.cos(kx) * np.cos(ky) - xmu_tb - etanm)
+            h[2, 2] = (2 * t5 * (np.cos(kx) + np.cos(ky))
+                       + 4 * t6 * np.cos(kx) * np.cos(ky) + dxy - xmu_tb)
+            h[0, 1] = h[1, 0] = 4 * t4 * np.sin(kx) * np.sin(ky)
+            h[0, 2] = (2j * t7 * np.sin(kx)
+                       + 4j * t8 * np.sin(kx) * np.cos(ky))
+            h[1, 2] = (2j * t7 * np.sin(ky)
+                       + 4j * t8 * np.sin(ky) * np.cos(kx))
+            h[2, 0] = np.conj(h[0, 2])
+            h[2, 1] = np.conj(h[1, 2])
+            hks.append(h)
+    return np.stack(hks, axis=-1)
+
+
+def hk_2bands_hyb_fcc3d(nk: int = 10, e0: float = 1.0, mh: float = 0.0,
+                        lam: float = 0.5) -> np.ndarray:
+    """Two bands with fcc-like interband hybridization
+    (ed_hm_2bands_hyb_fcc3d.f90:3-4,401-402):
+        H = [[ Mh - e0 Σcos,   λ(cos kx - cos ky) cos kz],
+             [ h.c.,          -Mh - e0 Σcos            ]]."""
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    hks = []
+    for kx in ks:
+        for ky in ks:
+            for kz in ks:
+                eps = np.cos(kx) + np.cos(ky) + np.cos(kz)
+                v = lam * (np.cos(kx) - np.cos(ky)) * np.cos(kz)
+                hks.append(np.array([[mh - e0 * eps, v],
+                                     [v, -mh - e0 * eps]], dtype=complex))
+    return np.stack(hks, axis=-1)
+
+
 def _honeycomb_fk(kx, ky, t):
     """Nearest-neighbor honeycomb structure factor (graphene convention:
     d1=(1,0), d2=(-1/2,√3/2), d3=(-1/2,-√3/2))."""

@@ -96,6 +96,34 @@ def hexagon_isoc_hij(t: float = 1.0, lam: float = 0.1):
     return H, np.zeros(n, dtype=int)
 
 
+def post_transport(cfg: EDConfig, hij: np.ndarray, sreal_lat: np.ndarray,
+                   gamma_l=None, gamma_r=None, jeff: bool = False):
+    """Transport post-processing from a converged (fixed) self-energy —
+    the ed_nano_fix_trans / ed_nano_newtrans flow: the DMFT solution is
+    read back (LSigma files / NanoResult.smats_ineq) and re-used to
+    compute (a) the Landauer transmission T(w) = Tr[G_adv Γ_L G_ret Γ_R]
+    (ed_get_conductance, ed_nano_fix_trans.f90:659-784) and (b) the
+    effective non-local exchange J_ij (ed_get_jeff, :930-1010).
+
+    Returns dict with keys 'transmission' (None unless leads given) and
+    'jeff' (None unless jeff=True and Nspin=2)."""
+    from ..lattice import (transmission, gloc_realspace_full,
+                           effective_exchange)
+    out = {"transmission": None, "jeff": None}
+    if gamma_l is not None and gamma_r is not None:
+        out["transmission"] = transmission(cfg, hij, sreal_lat, gamma_l,
+                                           gamma_r)
+    if jeff:
+        lead = None
+        if gamma_l is not None and gamma_r is not None:
+            gl = np.asarray(gamma_l)
+            gr = np.asarray(gamma_r)
+            lead = -0.5j * (gl + gr)
+        gret = gloc_realspace_full(cfg, hij, sreal_lat, "real", lead=lead)
+        out["jeff"] = effective_exchange(cfg, gret, sreal_lat)
+    return out
+
+
 @dataclass
 class NanoScResult:
     converged: bool

@@ -217,3 +217,88 @@ def test_nano_sc_flake():
     np.testing.assert_allclose(r.dens, 1.0, atol=1e-3)
     assert np.all(r.phisc > 0.05)
     assert np.ptp(r.phisc) < 1e-12     # equivalent sites share the solve
+
+
+def test_effective_exchange_layout_and_limits():
+    """ed_get_jeff equivalent: zero for a paramagnetic Sigma; matches a
+    literal reimplementation of the reference kernel
+    (ed_nano_fix_trans.f90:995-1008) on a spin-split 2-site problem."""
+    from dmft_ed_tpu.lattice import gloc_realspace_full, effective_exchange
+    from dmft_ed_tpu import grids
+    cfg = EDConfig(norb=1, nbath=1, nspin=2, beta=10.0, lreal=200,
+                   wini=-4.0, wfin=4.0).validate()
+    nlat = 2
+    hij = np.zeros((4, 4))
+    for s in range(2):               # site-major (site, spin): t=1 dimer
+        hij[0 * 2 + s, 1 * 2 + s] = hij[1 * 2 + s, 0 * 2 + s] = -1.0
+    # paramagnetic: jeff == 0
+    sig = np.zeros((nlat, 2, 2, 1, 1, cfg.lreal), dtype=complex)
+    sig[:, 0, 0] = sig[:, 1, 1] = 0.3 - 0.1j
+    g = gloc_realspace_full(cfg, hij, sig, "real")
+    np.testing.assert_allclose(effective_exchange(cfg, g, sig), 0.0,
+                               atol=1e-14)
+    # spin-split: compare against the literal reference loop
+    rng = np.random.default_rng(3)
+    sig[:, 0, 0] += 0.2 + 0.05j * rng.random(cfg.lreal)
+    sig[:, 1, 1] -= 0.2 + 0.02j * rng.random(cfg.lreal)
+    g = gloc_realspace_full(cfg, hij, sig, "real")
+    jeff = effective_exchange(cfg, g, sig)
+    wr = grids.real_axis(cfg)
+    ref = np.zeros((nlat, nlat))
+    for i in range(nlat):
+        for j in range(nlat):
+            kernel = 0.0
+            for n in range(cfg.lreal):
+                saux_i = (sig[i, 0, 0, 0, 0, n] - sig[i, 1, 1, 0, 0, n]) / 2
+                saux_j = (sig[j, 0, 0, 0, 0, n] - sig[j, 1, 1, 0, 0, n]) / 2
+                fermi = 1.0 / (1.0 + np.exp(cfg.beta * wr[n]))
+                kernel += (saux_i * g[2 * i, 2 * j, n] * saux_j
+                           * g[2 * j + 1, 2 * i + 1, n] * fermi)
+            ref[i, j] = np.imag(kernel) / np.pi
+    np.testing.assert_allclose(jeff, ref, atol=1e-12)
+    np.testing.assert_allclose(jeff, jeff.T, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_soc_ineq_crystal_field_split():
+    """ed_SOC_ineq: two t2g+SOC sites with different crystal-field shifts
+    carry different densities; per-site SOC operators come out of the
+    lattice getter (ED_IO/get_imp_SOC_op.f90 lattice variant)."""
+    from dmft_ed_tpu.models import soc_ineq
+    cfg = EDConfig(norb=3, nspin=2, nbath=1, uloc=(1.0, 1.0, 1.0),
+                   ed_mode="nonsu2", bath_type="replica", beta=20.0,
+                   lmats=96, lreal=32, nloop=2, dmft_error=1e-15,
+                   ed_verbose=0).validate()
+    with scratch_dir():
+        r = soc_ineq.run(cfg, nlat=2, nk=4, soc=0.25, shifts=[0.0, 0.6],
+                         tperp=0.1)
+        ops = r.solver.get_quantum_soc_operators()
+    assert r.iterations == 2
+    n0, n1 = r.dens.sum(axis=1)
+    assert n0 > n1 + 0.01            # shifted site holds fewer electrons
+    assert len(ops) == 2
+    # SOC partially polarizes L.S on each site; finite and equal-sign
+    assert all(abs(o["LS"].real) > 1e-3 for o in ops)
+
+
+def test_new_hk_builders():
+    """hk_square_2nn / hk_daghofer / hk_2bands_hyb_fcc3d structural checks
+    vs the reference formulas."""
+    from dmft_ed_tpu.models.kspace import (hk_square_2nn, hk_daghofer,
+                                           hk_2bands_hyb_fcc3d)
+    h = hk_square_2nn(16, ts=0.25, tsp=0.1)
+    # index 0 is k = (-pi, -pi): eps = +4 ts - 4 tsp
+    assert abs(h[0, 0, 0] - (1.0 - 0.4)) < 1e-12
+    d = hk_daghofer(12, alpha=1.0)
+    np.testing.assert_allclose(d, d.conj().transpose(1, 0, 2), atol=1e-14)
+    assert d.shape == (3, 3, 144)
+    # Gamma point: off-diagonals vanish (all sin factors zero)
+    ks = np.linspace(-np.pi, np.pi, 12, endpoint=False)
+    ig = np.argmin([abs(kx) + abs(ky) for kx in ks for ky in ks])
+    np.testing.assert_allclose(d[0, 1, ig], 0.0, atol=1e-14)
+    np.testing.assert_allclose(d[0, 2, ig], 0.0, atol=1e-14)
+    f = hk_2bands_hyb_fcc3d(6, e0=1.0, mh=0.3, lam=0.5)
+    np.testing.assert_allclose(f, f.conj().transpose(1, 0, 2), atol=1e-14)
+    # hybridization vanishes on the kx=ky line
+    ik = 0  # kx=ky=kz=-pi
+    np.testing.assert_allclose(f[0, 1, ik], 0.0, atol=1e-14)
