@@ -96,6 +96,24 @@ def hexagon_isoc_hij(t: float = 1.0, lam: float = 0.1):
     return H, np.zeros(n, dtype=int)
 
 
+def run_adiabatic(cfg: EDConfig, hij_of_t, times, lat2ineq,
+                  wmixing: float = 0.5, log=None):
+    """Adiabatic non-equilibrium drive (ed_nano_adiabatic.f90 /
+    ed_nano_a2ph.f90 set_drive flow): sweep the drive parameter (time),
+    solving the EQUILIBRIUM real-space DMFT problem of the instantaneous
+    Hamiltonian Hij(t) at every step, warm-starting each step from the
+    previous converged bath. `hij_of_t(t)` returns the [Nlso, Nlso]
+    Hamiltonian at drive time t. Returns the list of NanoResult per step."""
+    results = []
+    baths = None
+    for t in times:
+        r = run(cfg, np.asarray(hij_of_t(t)), lat2ineq, wmixing=wmixing,
+                baths0=baths, log=log)
+        baths = r.baths
+        results.append(r)
+    return results
+
+
 def post_transport(cfg: EDConfig, hij: np.ndarray, sreal_lat: np.ndarray,
                    gamma_l=None, gamma_r=None, jeff: bool = False):
     """Transport post-processing from a converged (fixed) self-energy —
@@ -199,7 +217,14 @@ def run_sc(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
 
 def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
         wmixing: float = 0.5, phsym: bool = False, sb_field_sign=None,
-        log=None) -> NanoResult:
+        baths0=None, enforce_map=None, log=None) -> NanoResult:
+    """enforce_map: optional list of ((i,iorb,ispin), (j,jorb,jspin))
+    inequivalent-index tuples; after each solve,
+    Sigma[j,jspin,jspin,jorb,jorb] := Sigma[i,ispin,ispin,iorb,iorb] —
+    the enforce_symmetry.in mechanism of
+    ed_nano_enforce_ineq_symm.f90:468-485 (e.g. pinning a magnetic
+    pattern across symmetry-related atoms). baths0: warm-start bath stack
+    (the adiabatic drive restarts, ed_nano_adiabatic.f90)."""
     cfg = cfg.validate()
     _log = log if log is not None else (print if cfg.ed_verbose > 0
                                         else lambda *a, **k: None)
@@ -213,7 +238,8 @@ def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
     hloc_ineq = hloc_lat[ineq2lat]
 
     lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
-    baths = lsolver.init_solvers(sb_field_sign)
+    baths = lsolver.init_solvers(sb_field_sign) if baths0 is None \
+        else np.array(baths0, dtype=float)
     baths_prev = baths.copy()
     monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
     converged, iloop = False, 0
@@ -226,6 +252,11 @@ def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
              f"({nineq} ineq of {nlat} sites) ---")
         lsolver.solve(baths)
         smats_ineq = lsolver.get_sigma_matsubara()
+        if enforce_map:
+            # enforce_ineq_symmetry (ed_nano_enforce_ineq_symm.f90:468-485)
+            for (i, io, isp), (j, jo, jsp) in enforce_map:
+                smats_ineq[j, jsp, jsp, jo, jo] = \
+                    smats_ineq[i, isp, isp, io, io]
         smats_lat = smats_ineq[lat2ineq]
         gm_lat = gloc_realspace(cfg, hij, smats_lat, "mats")
         gm_ineq = gm_lat[ineq2lat]
@@ -248,6 +279,9 @@ def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
             for s in lsolver.solvers:
                 s.cfg = cfg
     smats_ineq = lsolver.get_sigma_matsubara()
+    if enforce_map:
+        for (i, io, isp), (j, jo, jsp) in enforce_map:
+            smats_ineq[j, jsp, jsp, jo, jo] = smats_ineq[i, isp, isp, io, io]
     ekin = kinetic_energy_realspace(cfg, hij, smats_ineq[lat2ineq])
     return NanoResult(converged=converged, iterations=iloop, baths=baths,
                       smats_ineq=smats_ineq, gmats_lat=gm_lat,

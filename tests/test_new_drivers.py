@@ -302,3 +302,32 @@ def test_new_hk_builders():
     # hybridization vanishes on the kx=ky line
     ik = 0  # kx=ky=kz=-pi
     np.testing.assert_allclose(f[0, 1, ik], 0.0, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_nano_adiabatic_gate_sweep_and_enforce():
+    """Adiabatic gate drive (ed_nano_adiabatic.f90): the site density
+    follows the instantaneous gate potential monotonically, each step
+    warm-started. enforce_map (ed_nano_enforce_ineq_symm.f90) pins
+    Sigma of site 1 to site 0, making the Weiss fields identical."""
+    from dmft_ed_tpu.models import nano
+    cfg = EDConfig(norb=1, nbath=2, nspin=1, uloc=(1.5,), beta=20.0,
+                   lmats=96, lreal=32, nloop=3, dmft_error=1e-15,
+                   ed_verbose=0).validate()
+
+    def hij_of_t(t):
+        h = np.array([[0.0, -1.0], [-1.0, 0.0]])
+        return h + np.diag([t, 0.0])       # gate ramp on site 0
+
+    with scratch_dir():
+        rs = nano.run_adiabatic(cfg, hij_of_t, [0.0, 0.5, 1.0],
+                                lat2ineq=[0, 1])
+    n0 = [r.dens[0] for r in rs]
+    assert n0[0] > n0[1] > n0[2]           # gate empties the driven site
+    np.testing.assert_allclose(rs[0].dens[0], rs[0].dens[1], atol=1e-3)
+    # enforce_map: pin Sigma_1 := Sigma_0 on an asymmetric dimer
+    with scratch_dir():
+        r = nano.run(cfg, hij_of_t(0.4), lat2ineq=[0, 1],
+                     enforce_map=[((0, 0, 0), (1, 0, 0))])
+    np.testing.assert_allclose(r.smats_ineq[0, 0, 0, 0, 0],
+                               r.smats_ineq[1, 0, 0, 0, 0], atol=1e-12)
