@@ -218,14 +218,24 @@ def self_consistency_superc(cfg: EDConfig, gloc, floc, sigma, sigma_an,
 # ----------------------------------------------------------------------
 
 def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
-                     = None, wbands=None) -> np.ndarray:
+                     = None, wbands=None,
+                     diag_only: Optional[bool] = None) -> np.ndarray:
     """New Weiss field (sctype='weiss') or hybridization (sctype='delta').
 
     weiss: G0^{-1} = Gloc^{-1} + Σ
     delta: Δ = (z+mu) - Hloc - Σ - Gloc^{-1}
     Bethe shortcut (wbands given): Δ_a = (W_a/2)^2 * Gloc_aa
     (drivers/ed_hm_bethe.f90:118-122; DMFT_Tools dmft_self_consistency).
-    """
+
+    diag_only: force the orbital-diagonal update. REQUIRED whenever Gloc came
+    from the orbital-diagonal DOS integral (gloc_dos): that Gloc discards
+    Σ_offdiag, so a full-matrix Weiss update here would re-inject the
+    impurity's off-diagonal Σ with nothing on the lattice side to balance
+    it — producing a spurious O(Σ_offdiag) off-diagonal Weiss that the bath
+    fit then chases (observed: hybrid-bath 2-band Bethe collapsing to an
+    orbitally polarized state). Default None keeps the structural choice
+    keyed on bath_type (matrix for hybrid/replica, as appropriate for
+    k-sum Gloc which retains the full Σ matrix)."""
     sctype = sctype or cfg.cg_scheme
     z = jnp.asarray(grids.z_mats(cfg))
     ns_, no = cfg.nspin, cfg.norb
@@ -242,7 +252,7 @@ def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
                     out[s, s, a, a] = 1.0 / (np.asarray(z) + cfg.xmu
                                              - hloc[s, s, a, a] - d)
         return out
-    if cfg.ed_mode == "nonsu2":
+    if cfg.ed_mode == "nonsu2" and not diag_only:
         # full (Nspin*Norb) matrix update including spin off-diagonals
         nso = ns_ * no
         g = gloc.transpose(4, 0, 2, 1, 3).reshape(L, nso, nso)
@@ -255,7 +265,8 @@ def self_consistency(cfg: EDConfig, gloc, sigma, hloc, sctype: Optional[str]
             zeta = (np.asarray(z) + cfg.xmu)[:, None, None] * np.eye(nso)[None]
             w = zeta - hl[None] - sg - gi
         return w.reshape(L, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
-    diag_only = cfg.bath_type == "normal"
+    if diag_only is None:
+        diag_only = cfg.bath_type == "normal"
     for s in range(ns_):
         if diag_only:
             for a in range(no):

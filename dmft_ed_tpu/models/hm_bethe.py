@@ -80,7 +80,8 @@ def run(cfg: EDConfig | None = None, le: int = 500, wbethe=1.0, dbethe=0.0,
             gm = res.gmats if wgimp else gmats
             weiss = self_consistency(cfg, gm, smats, hloc, wbands=wband)
         else:
-            weiss = self_consistency(cfg, gmats, smats, hloc)
+            # gloc_dos is orbital-diagonal -> the Weiss update must be too
+            weiss = self_consistency(cfg, gmats, smats, hloc, diag_only=True)
         if mix_g0 and weiss_prev is not None:
             weiss = wmixing * weiss + (1 - wmixing) * weiss_prev
         if mix_g0:

@@ -94,7 +94,10 @@ def test_ahm_square_sc_phase(tmp_path, monkeypatch):
                    deltasc=0.1, beta=80.0, lmats=200, lreal=40, lfit=200,
                    nloop=20, dmft_error=1e-4, ed_verbose=0,
                    lanc_dim_threshold=2048).validate()
-    r = ahm_square.run(cfg, nk=16, ts=0.25, wmixing=0.5, log=lambda m: None)
+    # phsym (same flag as drivers/ed_ahm_square.f90:25,94): without it the
+    # free fit converges to a slightly ph-asymmetric bath (dens ~ 1.009)
+    r = ahm_square.run(cfg, nk=16, ts=0.25, wmixing=0.5, phsym=True,
+                       log=lambda m: None)
     assert r.error < 1e-3
     np.testing.assert_allclose(r.dens, [1.0], atol=5e-3)
     assert r.phisc[0] > 0.05

@@ -17,7 +17,11 @@ def rundir(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_two_band_hund_hybrid(rundir):
-    cfg = EDConfig(norb=2, nbath=3, nspin=1, uloc=(2.0, 2.0), ust=1.0,
+    # nbath=4 shared levels: with 3, the orbital-orthogonality constraint of
+    # the hybrid bath leaves orbital 2 a SINGLE level, which cannot sit at a
+    # ph-symmetric position — dens[1] is then off half filling by ~2e-2 at
+    # the true chi^2 minimum. 4 levels give each orbital a +/- pair.
+    cfg = EDConfig(norb=2, nbath=4, nspin=1, uloc=(2.0, 2.0), ust=1.0,
                    jh=0.25, jx=0.25, jp=0.25, bath_type="hybrid", beta=100.0,
                    lmats=200, lreal=40, lfit=200, nloop=45, dmft_error=1e-4,
                    ed_verbose=0, lanc_dim_threshold=2048).validate()
