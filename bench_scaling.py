@@ -38,8 +38,10 @@ from dmft_ed_tpu.config import EDConfig  # noqa: E402
 from dmft_ed_tpu.bath import Bath  # noqa: E402
 from dmft_ed_tpu.sectors import sector_table  # noqa: E402
 from dmft_ed_tpu.hamiltonian import build_sector_hamiltonian  # noqa: E402
-from dmft_ed_tpu.parallel import make_mesh, make_sharded_matvec  # noqa: E402
-from dmft_ed_tpu.lanczos import precise_dot  # noqa: E402
+from dmft_ed_tpu.parallel import make_mesh  # noqa: E402
+from dmft_ed_tpu.parallel.hxv import (sharded_sector_op,  # noqa: E402
+                                      pad_flat_to_blocks)
+from dmft_ed_tpu.lanczos import lanczos_tridiag_blocks  # noqa: E402
 
 
 def build(nbath=13, dtype="float64", prec="ozaki6"):
@@ -57,34 +59,28 @@ def build(nbath=13, dtype="float64", prec="ozaki6"):
 
 
 def run_mesh(cfg, sec, ham, n_shards, niter=20):
+    """Time the PRODUCTION distributed Lanczos recurrence
+    (lanczos_tridiag_blocks on the pad-and-shard operator — the exact path
+    diag._solve_sector_lanczos takes above shard_dim_threshold)."""
     mesh = make_mesh(n_rows=n_shards, n_sites=1,
                      devices=jax.devices()[:n_shards])
-    mv, shd, dt, pad = make_sharded_matvec(ham, cfg, mesh)
-    blk = sec.blocks[0]
+    spec, arrays, blocks, sec_p, shd, _ = sharded_sector_op(ham, cfg, mesh)
     rng = np.random.default_rng(1)
-    v = jnp.asarray(rng.normal(size=(blk.ddw + pad, blk.dup)), dtype=dt)
-    v = v / jnp.linalg.norm(v)
-    v = jax.device_put(v, shd)
+    v0 = rng.normal(size=sec.dim)
+    v0 = v0 / np.linalg.norm(v0)
+    dt = jnp.dtype(cfg.dtype)
+    V0 = tuple(jax.device_put(jnp.asarray(v, dtype=dt), shd)
+               for v in pad_flat_to_blocks(v0, sec, sec_p))
 
-    def loop(v0):
-        def step(c, _):
-            vp, vv, bp = c
-            w = mv(vv)
-            a = precise_dot(vv, w)
-            w = w - a * vv - bp * vp
-            b = jnp.sqrt(precise_dot(w, w))
-            return (vv, w / jnp.where(b > 1e-13, b, 1.0), b), a
-        (c, al) = jax.lax.scan(step, (jnp.zeros_like(v0), v0,
-                                      jnp.asarray(0.0)), None, length=niter)
-        return c[1]
+    def f():
+        return lanczos_tridiag_blocks(spec, blocks, arrays, V0, niter, shd)
 
-    f = jax.jit(loop)
-    y = f(v)
+    y = f()
     jax.block_until_ready(y)
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        y = f(v)
+        y = f()
         jax.block_until_ready(y)
         best = min(best, time.time() - t0)
     return best / niter

@@ -21,6 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .config import EDConfig
 from .sectors import Sector, SectorTable, sector_table, sector_label
@@ -28,8 +29,7 @@ from .bath import Bath
 from .eigenspace import StateList
 from .hamiltonian import (build_sector_hamiltonian, assemble_dense,
                           make_matvec_op, flatten_blocks, unflatten_blocks)
-from .lanczos import (eigs_lanczos_op, lanczos_ground_state,
-                      lanczos_tridiag_op, tridiag_eigh)
+from .lanczos import eigs_lanczos_op, lanczos_tridiag_op, tridiag_eigh
 
 
 @dataclass
@@ -101,23 +101,17 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None):
     v0 = v0 / jnp.linalg.norm(v0)
     if cfg.lanc_method.lower() == "lanczos":
         # plain-Lanczos T=0 path (lanc_method='lanczos'): two-pass ground
-        # state via the op-form tridiagonalization
+        # state — tridiagonalize once, then replay the recurrence with the
+        # STORED (alpha, beta) to accumulate |gs> (2n matvecs total,
+        # dot-free second pass; PLAIN_LANCZOS.f90:189-397)
+        from .lanczos import lanczos_rebuild_gs_op
         niter = min(sec.dim, cfg.lanc_niter)
         al, be, ns_ = lanczos_tridiag_op(spec, blocks, arrays, v0, niter)
         n = max(int(ns_), 1)
         evals, Y = tridiag_eigh(np.asarray(al[:n]), np.asarray(be[:n]))
-        # rebuild |gs> with a second recurrence
-        from .lanczos import lanczos_ground_state
-        from .hamiltonian import apply_op
-        from .lanczos import _unflatten_blocks_static, _flatten_tuple
-
-        def mv(x):
-            return _flatten_tuple(apply_op(spec, arrays,
-                                           _unflatten_blocks_static(x,
-                                                                    blocks)))
-        e0, gs = lanczos_ground_state(mv, v0, niter=niter,
-                                      tol=cfg.lanc_tolerance)
-        return np.array([e0]), gs[None, :]
+        gs = lanczos_rebuild_gs_op(spec, blocks, arrays, v0, al, be,
+                                   Y[:, 0], n)
+        return np.array([evals[0]]), gs[None, :]
     ncv = min(sec.dim,
               cfg.lanc_ncv_factor * max(neigen, cfg.lanc_nstates_sector)
               + cfg.lanc_ncv_add)
@@ -281,7 +275,7 @@ def _batched_eigh(H):
 
 
 def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
-                      cfgs=None):
+                      cfgs=None, mesh=None, suffixes=None):
     """Batched sector sweep over N inequivalent impurity sites.
 
     `cfgs`: optional per-site configs differing only in interaction /
@@ -292,6 +286,17 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
     (parallel/mesh.py), replacing the reference's round-robin MPI site loop
     (ED_MAIN.f90:576-678). Falls back to the per-site path for sectors
     above lanc_dim_threshold.
+
+    `mesh`: optional (sites, rows) jax.sharding.Mesh — the dense eigh batch
+    and the stacked large-sector Lanczos shard their site axis over 'sites'
+    (the reference's MPI site distribution, ED_MAIN.f90:576-678), and the
+    per-site Lanczos fallback row-shards sectors above
+    cfg.shard_dim_threshold over 'rows'.
+
+    `suffixes`: per-site file suffixes for the sectors_list restart masks
+    (ed_pre_diag, ED_DIAG.f90:263-363); defaults to the lattice convention
+    ``_ineq####``. The ed_twin trimming of ED_DIAG.f90:71-101 applies as in
+    the single-impurity sweep (twin sectors reconstructed, not solved).
 
     Returns (list of StateList, list of zeta, list of DiagState).
     """
@@ -308,28 +313,47 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
             for sec in table.sectors:
                 st.neigen_sector[sec.index] = min(sec.dim,
                                                   cfg.lanc_nstates_sector)
+    if suffixes is None:
+        suffixes = [f"_ineq{i + 1:04d}" for i in range(nsites)]
+    smasks = [sectors_mask(cfgs[i], table, suffixes[i])
+              for i in range(nsites)]
+    if cfg.ed_twin and cfg.jz_basis:
+        raise NotImplementedError("ed_twin is not supported with jz_basis")
+    tmask = table.twin_mask() if cfg.ed_twin else np.ones(len(table), bool)
     finite_t = any(st.lanc_nstates_total > 1 for st in states)
     slists = [StateList() for _ in range(nsites)]
     oldzero = [1000.0] * nsites
     rng = np.random.default_rng(cfg.seed + 7)
     for sec in table.sectors:
-        if sec.dim == 0:
+        if sec.dim == 0 or not tmask[sec.index]:
             continue
+        active = [smasks[i][sec.index] for i in range(nsites)]
+        if not any(active):
+            continue
+        tflag = cfg.ed_twin and tmask[sec.index]
+        if cfg.ed_mode == "normal":
+            tflag = tflag and (sec.qn[1] != sec.qn[2])
+        elif cfg.ed_mode == "superc":
+            tflag = tflag and (sec.qn[1] != 0)
+        else:
+            tflag = tflag and (sec.qn[1] != cfg.ns)
+        idx = [i for i in range(nsites) if active[i]]
         neigen = [min(sec.dim, st.neigen_sector[sec.index]) for st in states]
         dense_ok = sec.dim <= cfg.lanc_dim_threshold or \
-            max(neigen) >= sec.dim
+            max(neigen[i] for i in idx) >= sec.dim
         if dense_ok:
             Hs = np.stack([
                 assemble_dense(build_sector_hamiltonian(
                     cfgs[i], sec, baths[i], hlocs[i]))
-                for i in range(nsites)])
-            evals_b, evecs_b = _batched_eigh(jnp.asarray(Hs))
+                for i in idx])
+            Hs_d, npad = _shard_site_stack(jnp.asarray(Hs), mesh)
+            evals_b, evecs_b = _batched_eigh(Hs_d)
             evals_b = np.asarray(evals_b)
-            for i in range(nsites):
+            for bi, i in enumerate(idx):
                 ne = neigen[i]
-                evals, evecs = evals_b[i][:ne], evecs_b[i][:, :ne].T
+                evals, evecs = evals_b[bi][:ne], evecs_b[bi][:, :ne].T
                 _collect(cfg, table, slists[i], sec, evals, evecs,
-                         finite_t, states[i], oldzero, i)
+                         finite_t, states[i], oldzero, i, twin=tflag)
         else:
             # large-sector site-batched Lanczos: stack the structurally
             # identical per-site operators and run ONE lockstep
@@ -337,20 +361,20 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
             # the device batch replacing the reference's round-robin MPI
             # site loop (ED_MAIN.f90:576-678) at Lanczos scale
             from .lanczos import eigs_lanczos_op_stacked
-            hams = [build_sector_hamiltonian(cfgs[i], sec, baths[i],
-                                             hlocs[i]) for i in range(nsites)]
-            ops = [make_matvec_op(h, cfgs[i]) for i, h in enumerate(hams)]
-            specs = {(o[0], o[2]) for o in ops}
-            ne = max(neigen)
-            if len(specs) == 1 and nsites > 1:
-                spec, _, blocks = ops[0]
+            hams = {i: build_sector_hamiltonian(cfgs[i], sec, baths[i],
+                                                hlocs[i]) for i in idx}
+            ops = {i: make_matvec_op(hams[i], cfgs[i]) for i in idx}
+            specs = {(o[0], o[2]) for o in ops.values()}
+            ne = max(neigen[i] for i in idx)
+            if len(specs) == 1 and len(idx) > 1:
+                spec, _, blocks = ops[idx[0]]
                 arrays_stacked = tuple(
-                    jnp.stack([ops[i][1][a] for i in range(nsites)])
-                    for a in range(len(ops[0][1])))
+                    jnp.stack([ops[i][1][a] for i in idx])
+                    for a in range(len(ops[idx[0]][1])))
                 cplx = spec[-1].startswith("complex")
-                v0 = rng.normal(size=(nsites, sec.dim))
+                v0 = rng.normal(size=(len(idx), sec.dim))
                 if cplx:
-                    v0 = v0 + 1j * rng.normal(size=(nsites, sec.dim))
+                    v0 = v0 + 1j * rng.normal(size=(len(idx), sec.dim))
                 v0 = jnp.asarray(v0, dtype=jnp.complex128 if cplx
                                  else jnp.dtype(cfg.dtype))
                 ncv = min(sec.dim, cfg.lanc_ncv_factor
@@ -359,34 +383,50 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
                 evals_b, evecs_b, _ = eigs_lanczos_op_stacked(
                     spec, blocks, arrays_stacked, v0, ne, ncv,
                     maxiter=min(sec.dim, cfg.lanc_niter),
-                    tol=cfg.lanc_tolerance)
-                for i in range(nsites):
-                    k = min(neigen[i], len(evecs_b[i]))
+                    tol=cfg.lanc_tolerance, mesh=mesh)
+                for bi, i in enumerate(idx):
+                    k = min(neigen[i], len(evecs_b[bi]))
                     _collect(cfg, table, slists[i], sec,
-                             np.asarray(evals_b[i][:k]), evecs_b[i][:k],
-                             finite_t, states[i], oldzero, i)
+                             np.asarray(evals_b[bi][:k]), evecs_b[bi][:k],
+                             finite_t, states[i], oldzero, i, twin=tflag)
             else:
-                for i in range(nsites):
+                for i in idx:
                     evals, evecs = _solve_sector_lanczos(cfg, hams[i],
-                                                         neigen[i], rng)
+                                                         neigen[i], rng,
+                                                         mesh)
                     _collect(cfg, table, slists[i], sec, evals, evecs,
-                             finite_t, states[i], oldzero, i)
+                             finite_t, states[i], oldzero, i, twin=tflag)
     zetas = [sl.partition_function(cfg.beta, finite_t) for sl in slists]
     return slists, zetas, states
 
 
+def _shard_site_stack(Hs, mesh):
+    """Place a [S, ...] site stack on the mesh 'sites' axis (zero-padding S
+    to the axis multiple — padded entries are solved redundantly and
+    discarded). Without a mesh the stack stays on the default device."""
+    if mesh is None or mesh.shape.get("sites", 1) <= 1:
+        return Hs, 0
+    ns = mesh.shape["sites"]
+    npad = (-Hs.shape[0]) % ns
+    if npad:
+        Hs = jnp.concatenate([Hs, jnp.zeros((npad,) + Hs.shape[1:],
+                                            Hs.dtype)])
+    shd = NamedSharding(mesh, P("sites", *([None] * (Hs.ndim - 1))))
+    return jax.device_put(Hs, shd), npad
+
+
 def _collect(cfg, table, slist, sec, evals, evecs, finite_t, state,
-             oldzero, i):
+             oldzero, i, twin=False):
     if finite_t:
         for e, v in zip(evals, evecs):
-            slist.add(e, jnp.asarray(v), sec, table,
+            slist.add(e, jnp.asarray(v), sec, table, twin=twin,
                       size=state.lanc_nstates_total)
     else:
         for e, v in zip(evals, evecs):
             if e < oldzero[i] - 10 * cfg.gs_threshold:
                 oldzero[i] = e
                 slist.clear()
-                slist.add(e, jnp.asarray(v), sec, table)
+                slist.add(e, jnp.asarray(v), sec, table, twin=twin)
             elif abs(e - oldzero[i]) <= cfg.gs_threshold:
                 oldzero[i] = min(oldzero[i], e)
-                slist.add(e, jnp.asarray(v), sec, table)
+                slist.add(e, jnp.asarray(v), sec, table, twin=twin)

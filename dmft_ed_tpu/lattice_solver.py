@@ -27,11 +27,17 @@ class LatticeEDSolver:
     """
 
     def __init__(self, cfg: EDConfig, hloc_ineq: np.ndarray, log=None,
-                 cfgs=None):
+                 cfgs=None, mesh=None):
         """cfgs: optional per-site configs (same sector structure as cfg,
         different interaction/level values — ed_ahm_stripe.f90's periodic
-        U modulation)."""
+        U modulation).
+
+        mesh: optional (sites, rows) jax.sharding.Mesh. The batched sector
+        sweep shards its site axis over 'sites' (the reference's MPI site
+        distribution, ED_MAIN.f90:576-678) and large sectors row-shard over
+        'rows' (parallel/hxv.py)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.nineq = hloc_ineq.shape[0]
         self.cfgs = list(cfgs) if cfgs is not None else [cfg] * self.nineq
         self.solvers: List[EDSolver] = [
@@ -68,7 +74,8 @@ class LatticeEDSolver:
         hlocs = [s.hloc for s in self.solvers]
         slists, zetas, states = diagonalize_sites(
             cfg, ubaths, hlocs, [s.diag_state for s in self.solvers],
-            cfgs=self.cfgs)
+            cfgs=self.cfgs, mesh=self.mesh,
+            suffixes=[s.suffix for s in self.solvers])
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
         gfs = self._batched_gf(ubaths, slists, zetas) \

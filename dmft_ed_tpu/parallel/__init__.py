@@ -1,4 +1,5 @@
 from .mesh import make_mesh, row_sharding
-from .hxv import make_sharded_matvec
+from .hxv import sharded_sector_op, solve_sector_sharded
 
-__all__ = ["make_mesh", "row_sharding", "make_sharded_matvec"]
+__all__ = ["make_mesh", "row_sharding", "sharded_sector_op",
+           "solve_sector_sharded"]

@@ -17,103 +17,21 @@ automatically.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EDConfig
-from ..hamiltonian import SectorHamiltonian, make_matvec
-from .mesh import row_sharding
-
-
-def make_sharded_matvec(ham: SectorHamiltonian, cfg: EDConfig, mesh: Mesh,
-                        batched: bool = False):
-    """Returns (matvec, sharding, dtype[, pad]) acting on V [.., ddw, dup]
-    with rows sharded. The operator constants are replicated (they are
-    exponentially smaller than the sector); vmap over a leading site/batch
-    axis when `batched`.
-
-    When the row dimension is not divisible by the mesh 'rows' axis
-    (general sector dims), the operator is zero-padded to the next multiple:
-    padded rows stay exactly zero through the Krylov recurrence (zero
-    diagonal, zero H rows), so norms/dots are unchanged. Callers pad the
-    initial vector with `pad_rows` zero rows.
-    """
-    n_rows = mesh.shape["rows"]
-    sec = ham.sector
-    pad = 0
-    if len(sec.blocks) == 1 and sec.blocks[0].ddw % n_rows != 0:
-        blk = sec.blocks[0]
-        ddw_pad = -(-blk.ddw // n_rows) * n_rows
-        pad = ddw_pad - blk.ddw
-        ham = _pad_single_block_rows(ham, ddw_pad)
-    base_mv, template = make_matvec(ham, cfg)
-    shd = row_sharding(mesh, batched)
-
-    def mv_single(v):
-        (out,) = base_mv((v,))
-        return out
-
-    mv = jax.vmap(mv_single) if batched else mv_single
-
-    def matvec(v):
-        v = jax.lax.with_sharding_constraint(v, shd)
-        out = mv(v)
-        return jax.lax.with_sharding_constraint(out, shd)
-
-    return matvec, shd, template[0].dtype, pad
-
-
-def _pad_single_block_rows(ham: SectorHamiltonian, ddw_pad: int):
-    """Zero-pad the down (row) dimension of a single-block operator."""
-    import numpy as np
-    from dataclasses import replace as _dc_replace
-    from ..sectors import Block, Sector
-    from ..hamiltonian import SpinCOO
-    blk = ham.sector.blocks[0]
-    new_blk = Block(blk.nup, blk.ndw, blk.dup, ddw_pad, 0)
-    new_sec = Sector(ham.sector.index, ham.sector.qn, (new_blk,),
-                     ham.sector.ns)
-    diag = [np.pad(ham.diag[0], ((0, ddw_pad - blk.ddw), (0, 0)))]
-    hd = ham.hdw[0]
-    hdw = [SpinCOO(hd.rows, hd.cols, hd.vals, (ddw_pad, ddw_pad))]
-    return SectorHamiltonian(new_sec, diag, ham.hup, hdw, ham.mix,
-                             ham.dtype)
-
-
-@partial(jax.jit, static_argnums=(0,))
-def lanczos_step(matvec: Callable, v_prev, v, b_prev):
-    """One 3-term Lanczos recurrence step on (possibly sharded) block
-    matrices — the multi-chip hot path. Dots lower to psum over ICI."""
-    w = matvec(v)
-    a = jnp.real(jnp.vdot(v, w))
-    w = w - a * v - b_prev * v_prev
-    b = jnp.sqrt(jnp.real(jnp.vdot(w, w)))
-    v_next = w / jnp.where(b > 1e-13, b, 1.0)
-    return v, v_next, a, b
-
-
-def sharded_lanczos_tridiag(matvec: Callable, v0, niter: int):
-    """Full scan-based tridiagonalization on sharded vectors (same recurrence
-    as lanczos.lanczos_tridiag, shapes [ddw, dup])."""
-
-    def step(carry, _):
-        v_prev, v, b_prev = carry
-        v_prev, v_next, a, b = lanczos_step(matvec, v_prev, v, b_prev)
-        return (v_prev, v_next, b), (a, b)
-
-    init = (jnp.zeros_like(v0), v0, jnp.asarray(0.0, jnp.float64
-                                                if v0.dtype == jnp.float64
-                                                else jnp.float32))
-    _, (alphas, betas) = jax.lax.scan(step, init, None, length=niter)
-    return alphas, betas
 
 
 # ----------------------------------------------------------------------
 # production row sharding: pad-and-shard for ANY sector (multi-block too)
 # ----------------------------------------------------------------------
+# (The pre-production single-block `make_sharded_matvec` path with raw-vdot
+# Lanczos steps was removed in round 3 — it carried the TPU f64-reduce
+# pathology and a single-block-only limitation; everything routes through
+# sharded_sector_op + the block-tuple Krylov in lanczos.py.)
 # The reference distributes every sector solve by 1-D row partition
 # (ED_HAMILTONIAN.f90:56-62) and AllGatherVs the full vector per SpMV
 # (ED_HAMILTONIAN_STORED_HxV.f90:163-196). Here every block's down (row)
@@ -231,9 +149,11 @@ def solve_sector_sharded(cfg: EDConfig, ham: SectorHamiltonian, neigen: int,
         from ..lanczos import tridiag_eigh
         n = max(int(ns_), 1)
         evals, Y = tridiag_eigh(np.asarray(al[:n]), np.asarray(be[:n]))
-        # second pass to rebuild |gs> (two-pass plain Lanczos)
+        # second pass to rebuild |gs> (two-pass plain Lanczos; dot-free —
+        # the stored betas replay the normalization)
         gs = _rebuild_gs_blocks(spec, blocks, arrays, V0, jnp.asarray(al),
-                                jnp.asarray(Y[:, 0]), n, shd)
+                                jnp.asarray(be), jnp.asarray(Y[:, 0]), n,
+                                shd)
         gs_flat = unpad_blocks_to_flat(gs, sec)
         gs_flat = gs_flat / np.linalg.norm(gs_flat)
         return np.array([evals[0]]), jnp.asarray(gs_flat)[None, :]
@@ -249,30 +169,34 @@ def solve_sector_sharded(cfg: EDConfig, ham: SectorHamiltonian, neigen: int,
     return np.asarray(evals), jnp.asarray(flat)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 7))
-def _rebuild_gs_blocks(spec, blocks, arrays, V0, alphas, y, n: int,
+@partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def _rebuild_gs_blocks(spec, blocks, arrays, V0, alphas, betas, y, n: int,
                        shd=None):
     """Second-pass ground-state rebuild |gs> = Σ_j y_j |v_j| in the
-    block-tuple layout (PLAIN_LANCZOS.f90:189-397 two-pass scheme)."""
+    block-tuple layout (PLAIN_LANCZOS.f90:189-397 two-pass scheme).
+    Dot-free: the stored (alpha, beta) coefficients replay the recurrence —
+    one sharded matvec per step, no collective reductions."""
     from ..hamiltonian import apply_op
-    from ..lanczos import tuple_real_dot, _constrain, _BREAKDOWN
+    from ..lanczos import _constrain, _BREAKDOWN
     rdt0 = jnp.float64 if V0[0].dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
     alphas = alphas.astype(rdt0)   # avoid f64 promotion of f32/c64 leaves
+    betas = betas.astype(rdt0)
     y = y.astype(rdt0)
+    beta_next = jnp.concatenate([betas[1:], jnp.ones(1, rdt0)])
 
     def step(carry, j):
-        v_prev, v, b_prev, acc = carry
+        v_prev, v, acc = carry
         acc = tuple(ab + y[j] * vb for ab, vb in zip(acc, v))
         w = apply_op(spec, arrays, _constrain(v, shd))
-        aj = alphas[j]
-        w = tuple(wb - aj * vb - b_prev * pb
+        aj, bj = alphas[j], betas[j]
+        w = tuple(wb - aj * vb - bj * pb
                   for wb, vb, pb in zip(w, v, v_prev))
-        bj = jnp.sqrt(tuple_real_dot(w, w))
-        vn = tuple(wb / jnp.where(bj > _BREAKDOWN, bj, 1.0) for wb in w)
-        return (v, _constrain(vn, shd), bj, acc), None
+        bn = beta_next[j]
+        vn = tuple(wb / jnp.where(bn > _BREAKDOWN, bn, 1.0) for wb in w)
+        return (v, _constrain(vn, shd), acc), None
 
     zeros = tuple(jnp.zeros_like(v) for v in V0)
-    init = (zeros, V0, jnp.asarray(0.0, rdt0), zeros)
+    init = (zeros, V0, zeros)
     carry, _ = jax.lax.scan(step, init, jnp.arange(n))
-    return carry[3]
+    return carry[2]
