@@ -45,19 +45,20 @@ def _components(cfg: EDConfig, bath: Bath):
     return out
 
 
-def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
-                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None,
-                    mesh=None):
-    from .gf_common import ResolventBatch
+def gf_nonsu2_plan(cfg: EDConfig, slist: StateList, bath: Bath,
+                   batch, site: int = 0, log=None):
+    """Enqueue every nonsu2 GF channel of one impurity into `batch`
+    (tagged with `site`) and return finalize(results) -> (Gmats, Greal).
+    The split lets LatticeEDSolver share ONE ResolventBatch across
+    inequivalent SOC/isoc sites — the cross-site device batch replacing the
+    reference's per-site serial build (ED_GF_NONSU2.f90:18-342 under the
+    ED_MAIN.f90:576-678 round-robin loop)."""
     table = sector_table(cfg)
-    cache = HamCache(cfg, bath, hloc, mesh)
     zm, zr = grids.z_mats(cfg), grids.z_real(cfg)
     Gm = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lmats),
                   dtype=complex)
     Gr = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb, cfg.lreal),
                   dtype=complex)
-    egs = slist.emin
-    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
 
     def enqueue(sector, vec, e_i, terms, isign, target, cnorm2=1.0):
         r = apply_op_combo(cfg, table, sector, vec, terms)
@@ -65,7 +66,8 @@ def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
             return
         jsec, vv = r
         batch.add(jsec, vv, e_i,
-                  {"isign": isign, "target": target, "cnorm2": cnorm2})
+                  {"isign": isign, "target": target, "cnorm2": cnorm2,
+                   "site": site}, site=site)
 
     # spin-diagonal, orbital-diagonal channels
     for s in range(cfg.nspin):
@@ -93,19 +95,31 @@ def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
             enqueue(sector, vec, e_i,
                     [(1.0, s, a, False), (-1j, s2, b, False)], -1, tgt, 1j)
 
-    for meta, w, p in batch.run():
-        s, s2, a, b = meta["target"]
-        isign = meta["isign"]
-        Gm[s, s2, a, b] += accumulate_poles(zm, w, p, isign)
-        Gr[s, s2, a, b] += accumulate_poles(zr, w, p, isign)
+    def finalize(results):
+        for meta, w, p in results:
+            s, s2, a, b = meta["target"]
+            isign = meta["isign"]
+            Gm[s, s2, a, b] += accumulate_poles(zm, w, p, isign)
+            Gr[s, s2, a, b] += accumulate_poles(zr, w, p, isign)
+        # (1+i) symmetry reconstruction for the off-diagonal components
+        for (s, s2, a, b) in comps:
+            for G in (Gm, Gr):
+                G[s, s2, a, b] = 0.5 * (G[s, s2, a, b]
+                                        - (1 + 1j) * G[s, s, a, a]
+                                        - (1 + 1j) * G[s2, s2, b, b])
+        return Gm, Gr
 
-    # (1+i) symmetry reconstruction for the off-diagonal components
-    for (s, s2, a, b) in comps:
-        for G in (Gm, Gr):
-            G[s, s2, a, b] = 0.5 * (G[s, s2, a, b]
-                                    - (1 + 1j) * G[s, s, a, a]
-                                    - (1 + 1j) * G[s2, s2, b, b])
-    return Gm, Gr
+    return finalize
+
+
+def build_gf_nonsu2(cfg: EDConfig, slist: StateList, zeta: float,
+                    bath: Bath, hloc: np.ndarray, finite_t: bool, log=None,
+                    mesh=None):
+    from .gf_common import ResolventBatch
+    cache = HamCache(cfg, bath, hloc, mesh)
+    batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
+    finalize = gf_nonsu2_plan(cfg, slist, bath, batch, site=0, log=log)
+    return finalize(list(batch.run()))
 
 
 def build_sigma_nonsu2(cfg: EDConfig, bath: Bath, hloc: np.ndarray, Gm, Gr):

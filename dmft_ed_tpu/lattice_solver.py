@@ -78,8 +78,7 @@ class LatticeEDSolver:
             suffixes=[s.suffix for s in self.solvers])
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
-        gfs = self._batched_gf(ubaths, slists, zetas) \
-            if cfg.ed_mode in ("normal", "superc") else [None] * self.nineq
+        gfs = self._batched_gf(ubaths, slists, zetas)
         self.results = []
         for i, s in enumerate(self.solvers):
             self.results.append(
@@ -88,24 +87,29 @@ class LatticeEDSolver:
         return self.results
 
     def _batched_gf(self, ubaths, slists, zetas):
-        """Cross-site batched GF pass (normal mode): every site's Krylov
-        resolvents over the same sector run as one stacked device Lanczos
-        (gf_common.ResolventBatch site axis) — the reference's round-robin
-        site distribution (ED_MAIN.f90:576-678) as a vmap axis."""
+        """Cross-site batched GF pass (all three ed_modes): every site's
+        Krylov resolvents over the same sector run as one stacked device
+        Lanczos (gf_common.ResolventBatch site axis) — the reference's
+        round-robin site distribution (ED_MAIN.f90:576-678) as a vmap
+        axis."""
         from .gf_common import HamCache, ResolventBatch
         from .gf_normal import gf_normal_plan
         from .gf_superc import gf_superc_plan
+        from .gf_nonsu2 import gf_nonsu2_plan
         cfg = self.cfg
         batch = ResolventBatch(cfg)
         finalizers = []
         for i, s in enumerate(self.solvers):
             finite_t = cfg.finite_t or s.diag_state.lanc_nstates_total > 1
             finite_t = finite_t and len(slists[i]) > 1
-            cache = HamCache(self.cfgs[i], ubaths[i], s.hloc)
+            cache = HamCache(self.cfgs[i], ubaths[i], s.hloc, self.mesh)
             batch.add_site(i, cache, slists[i].emin, zetas[i], finite_t)
             if cfg.ed_mode == "superc":
                 finalizers.append(gf_superc_plan(cfg, slists[i], batch,
                                                  site=i, log=s.log))
+            elif cfg.ed_mode == "nonsu2":
+                finalizers.append(gf_nonsu2_plan(cfg, slists[i], ubaths[i],
+                                                 batch, site=i, log=s.log))
             else:
                 finalizers.append(gf_normal_plan(cfg, slists[i], ubaths[i],
                                                  batch, site=i, log=s.log))

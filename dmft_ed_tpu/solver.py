@@ -143,7 +143,7 @@ class EDSolver:
                                    res.fmats, res.freal)
         else:
             from .gf_nonsu2 import build_gf_nonsu2, build_sigma_nonsu2
-            res.gmats, res.greal = build_gf_nonsu2(
+            res.gmats, res.greal = gf if gf is not None else build_gf_nonsu2(
                 cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
                 mesh=self.mesh)
             res.smats, res.sreal, res.g0mats, res.g0real = \

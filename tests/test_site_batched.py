@@ -151,3 +151,36 @@ def test_diagonalize_sites_twin(tmp_path, monkeypatch):
         secs_f = sorted(s.sector.index for s in sl_f[i])
         secs_t = sorted(s.sector.index for s in sl_t[i])
         assert secs_f == secs_t
+
+
+def test_cross_site_batched_gf_nonsu2(tmp_path, monkeypatch):
+    """nonsu2 lattices (the SOC/isoc class) batch the GF pass across sites
+    like normal/superc — shared ResolventBatch == per-site build_gf_nonsu2
+    (VERDICT r2 missing #4; ED_GF_NONSU2.f90 under ED_MAIN.f90:576-678)."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.gf_nonsu2 import build_gf_nonsu2
+    from dmft_ed_tpu.lattice_solver import LatticeEDSolver
+    cfg = EDConfig(norb=1, nbath=3, nspin=2, uloc=(1.5,), ed_mode="nonsu2",
+                   beta=60.0, lmats=40, lreal=16, lanc_dim_threshold=4096,
+                   ed_print_sigma=False, ed_print_g=False,
+                   ed_print_g0=False).validate()
+    rng = np.random.default_rng(9)
+    nsites = 2
+    hloc_ineq = np.zeros((nsites, 2, 2, 1, 1))
+    for i in range(nsites):
+        hloc_ineq[i, 0, 1, 0, 0] = hloc_ineq[i, 1, 0, 0, 0] = \
+            0.15 + 0.05 * i                      # spin-mixing per site
+    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=lambda m: None)
+    baths = lsolver.init_solvers()
+    for i in range(nsites):
+        baths[i] += 0.05 * rng.normal(size=baths[i].shape)
+    results = lsolver.solve(baths, batched=True)
+    from dmft_ed_tpu.diag import diagonalize
+    for i, s in enumerate(lsolver.solvers):
+        ub = unpack_bath(cfg, baths[i], s.mask)
+        sl, z, _ = diagonalize(cfg, ub, s.hloc, None)
+        finite_t = (cfg.finite_t or s.diag_state.lanc_nstates_total > 1) \
+            and len(sl) > 1
+        gm, gr = build_gf_nonsu2(cfg, sl, z, ub, s.hloc, finite_t)
+        np.testing.assert_allclose(results[i].gmats, gm, atol=1e-10)
+        np.testing.assert_allclose(results[i].greal, gr, atol=1e-10)
