@@ -80,6 +80,18 @@ def gf_normal_plan(cfg: EDConfig, slist: StateList, bath: Bath,
     # --- orbital off-diagonal channels (lanc_build_gf_normal_mix_c)
     offdiag = (cfg.bath_type != "normal") or cfg.ed_solve_offdiag_gf
     mask = _offdiag_mask(cfg, bath) if (offdiag and cfg.norb > 1) else None
+    # the two auxiliary combos O+ = c_a + c_b and Oi = c_a - i c_b give
+    #   A := G_{O+} = Gaa + Gbb + Gab + Gba
+    #   B := G_{Oi} = Gaa + Gbb + i Gab - i Gba
+    # from which BOTH off-diagonals follow:
+    #   Gab = (S - i D)/2,  Gba = (S + i D)/2,
+    #   S = A - Gaa - Gbb,  D = B - Gaa - Gbb.
+    # The reference assumes Gab = Gba (real-symmetric impHloc) and keeps
+    # only the combined (1-i) reconstruction (ED_GF_NORMAL.f90:580-632);
+    # solving for both keeps complex hermitian Hloc exact (e.g. the tBLG
+    # Wannier models, ed_tBLG_wannier_2bands.f90).
+    Gm_i = np.zeros_like(Gm)
+    Gr_i = np.zeros_like(Gr)
     if mask is not None:
         for ispin in range(cfg.nspin):
             for iorb in range(cfg.norb):
@@ -98,32 +110,42 @@ def gf_normal_plan(cfg: EDConfig, slist: StateList, bath: Bath,
                                  (1.0, ispin, jorb, False)], -1, tgt)
                         enqueue(sector, vec, e_i,
                                 [(1.0, ispin, iorb, True),
-                                 (1j, ispin, jorb, True)], 1, tgt, -1j)
+                                 (1j, ispin, jorb, True)], 1,
+                                tgt + ("i",))
                         enqueue(sector, vec, e_i,
                                 [(1.0, ispin, iorb, False),
-                                 (-1j, ispin, jorb, False)], -1, tgt, -1j)
+                                 (-1j, ispin, jorb, False)], -1,
+                                tgt + ("i",))
 
     # --- pole accumulation + symmetry reconstruction, deferred until the
     # shared batch has run (ED_GF_NORMAL.f90:52-71, :580-632)
     def finalize(results):
         for meta, w, p in results:
-            s1, s2, a, b = meta["target"]
+            tgt = meta["target"]
             isign = meta["isign"]
-            Gm[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
-            Gr[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
+            if len(tgt) == 5:                      # the Oi combo channel
+                s1, s2, a, b, _ = tgt
+                Gm_i[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
+                Gr_i[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
+            else:
+                s1, s2, a, b = tgt
+                Gm[s1, s2, a, b] += accumulate_poles(zm, w, p, isign)
+                Gr[s1, s2, a, b] += accumulate_poles(zr, w, p, isign)
         if mask is not None:
             for ispin in range(cfg.nspin):
                 for iorb in range(cfg.norb):
                     for jorb in range(iorb + 1, cfg.norb):
                         if not mask[ispin, iorb, jorb]:
                             continue
-                        for G in (Gm, Gr):
-                            G[ispin, ispin, iorb, jorb] = 0.5 * (
-                                G[ispin, ispin, iorb, jorb]
-                                - (1 - 1j) * G[ispin, ispin, iorb, iorb]
-                                - (1 - 1j) * G[ispin, ispin, jorb, jorb])
+                        for G, Gi in ((Gm, Gm_i), (Gr, Gr_i)):
+                            dd = (G[ispin, ispin, iorb, iorb]
+                                  + G[ispin, ispin, jorb, jorb])
+                            S = G[ispin, ispin, iorb, jorb] - dd
+                            D = Gi[ispin, ispin, iorb, jorb] - dd
+                            G[ispin, ispin, iorb, jorb] = \
+                                0.5 * (S - 1j * D)
                             G[ispin, ispin, jorb, iorb] = \
-                                G[ispin, ispin, iorb, jorb]
+                                0.5 * (S + 1j * D)
         return Gm, Gr
 
     return finalize

@@ -45,6 +45,72 @@ def bethe_bands(norb: int, wband, le: int = 500, h0=None):
     return eb, db, h0
 
 
+def flat_dos(e, w: float) -> np.ndarray:
+    """Box DOS 1/(2W) on [-W, W] (SciFor dens_flat;
+    drivers/ed_hm_2bands_dos.f90:57-59 'flat')."""
+    e = np.asarray(e, dtype=float)
+    return np.where(np.abs(e) <= w, 1.0 / (2.0 * w), 0.0)
+
+
+def square2d_dos(e, ts: float = 1.0) -> np.ndarray:
+    """2d square-lattice DOS rho(e) = K(1-(e/4t)^2) / (2 pi^2 t), |e|<4t
+    (SciFor dens_2dsquare; drivers/ed_hm_square_dos.f90:40-45). The log
+    singularity at e=0 is integrable; the trapezoid grid never samples it
+    exactly for even Le."""
+    from scipy.special import ellipk
+    e = np.asarray(e, dtype=float)
+    m = 1.0 - (e / (4.0 * ts)) ** 2
+    out = np.zeros_like(e)
+    inside = m > 0
+    # clip m<1 so an exact e=0 grid point stays finite (K(m) ~ ln(16/(1-m))
+    # there; the singularity is integrable)
+    out[inside] = ellipk(np.minimum(m[inside], 1.0 - 1e-15)) \
+        / (2.0 * np.pi ** 2 * ts)
+    return out
+
+
+def dos_bands(norb: int, dos_model: str = "bethe", wband=1.0, le: int = 500,
+              h0=None, ts: float = 1.0, dos_file=None):
+    """(Ebands, Dbands, H0) for the DOS-integral Gloc drivers.
+
+    dos_model: 'bethe' | 'flat' | '2dsquare' | 'file'
+    (drivers/ed_hm_2bands_dos.f90:52-62, ed_hm_square_dos.f90:38-45).
+    'file': dos_file is one path or a list of per-orbital paths to
+    two-column (e, rho(e)) text files; weights get the trapezoid measure."""
+    wband = np.broadcast_to(np.asarray(wband, dtype=float), (norb,))
+    h0 = np.zeros(norb) if h0 is None else np.asarray(h0, dtype=float)
+    if dos_model == "bethe":
+        eb, db, _ = bethe_bands(norb, wband, le)
+        return eb, db, h0
+    if dos_model == "file":
+        files = [dos_file] * norb if isinstance(dos_file, (str, bytes)) \
+            else list(dos_file)
+        if len(files) != norb:
+            raise ValueError(f"dos_bands: {len(files)} DOS files for "
+                             f"{norb} orbitals")
+        data = [np.loadtxt(f) for f in files]
+        le = min(d.shape[0] for d in data)
+        eb = np.stack([d[:le, 0] for d in data])
+        db = np.stack([d[:le, 1] for d in data])
+        de = np.gradient(eb, axis=1)
+        return eb, db * de, h0
+    eb = np.zeros((norb, le))
+    db = np.zeros((norb, le))
+    for a in range(norb):
+        if dos_model == "2dsquare":
+            w = 4.0 * ts
+            e = np.linspace(-w, w, le)
+            rho = square2d_dos(e, ts)
+        elif dos_model == "flat":
+            e = np.linspace(-wband[a], wband[a], le)
+            rho = flat_dos(e, wband[a])
+        else:
+            raise ValueError(f"dos_bands: unknown dos_model {dos_model!r}")
+        eb[a] = e
+        db[a] = rho * (e[1] - e[0])
+    return eb, db, h0
+
+
 # ----------------------------------------------------------------------
 # local Green's function
 # ----------------------------------------------------------------------

@@ -42,15 +42,22 @@ class BetheResult:
 def run(cfg: EDConfig | None = None, le: int = 500, wbethe=1.0, dbethe=0.0,
         wmixing: float = 0.5, bethe_sc: bool = False, wgimp: bool = False,
         mix_g0: bool = False, sym_orbs: bool = False, log=None,
-        solver: EDSolver | None = None) -> BetheResult:
+        solver: EDSolver | None = None, bands=None,
+        phsym: bool = False) -> BetheResult:
+    """bands: optional (Ebands, Dbands, H0) triple overriding the Bethe
+    DOS — the same loop then serves any DOS-integral driver
+    (lattice.dos_bands; ed_hm_2bands_dos.f90 / ed_hm_square_dos.f90).
+    phsym: enforce particle-hole symmetry of the fitted bath each
+    iteration (ph_symmetrize_bath — the AHM drivers' optional flag)."""
     if cfg is None:
         cfg = EDConfig()
     cfg = cfg.validate()
     _log = log if log is not None else (print if cfg.ed_verbose > 0
                                         else lambda *a, **k: None)
 
-    eb, db, h0 = bethe_bands(cfg.norb, wbethe, le, np.broadcast_to(
-        np.asarray(dbethe, dtype=float), (cfg.norb,)))
+    eb, db, h0 = bands if bands is not None else bethe_bands(
+        cfg.norb, wbethe, le, np.broadcast_to(
+            np.asarray(dbethe, dtype=float), (cfg.norb,)))
     wband = np.broadcast_to(np.asarray(wbethe, dtype=float), (cfg.norb,))
     hloc = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb))
     for a in range(cfg.norb):
@@ -92,6 +99,9 @@ def run(cfg: EDConfig | None = None, le: int = 500, wbethe=1.0, dbethe=0.0,
             bath = orb_equality_bath(cfg, bath, 0)
         else:
             bath = solver.chi2_fitgf(weiss, bath, ispin=0)
+        if phsym:
+            from ..bath import ph_symmetrize_bath
+            bath = ph_symmetrize_bath(cfg, bath)
         if not mix_g0 and iloop > 1:
             bath = wmixing * bath + (1 - wmixing) * bath_prev
         bath_prev = bath.copy()

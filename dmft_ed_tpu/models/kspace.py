@@ -94,6 +94,35 @@ def hk_square(nk: int = 32, t: float = 0.25, nso: int = 1) -> np.ndarray:
     return np.eye(nso)[:, :, None] * eps[None, None, :]
 
 
+def hk_multiband_square(nk: int = 32, ts: float = 0.5, norb: int = 2,
+                        shifts=None) -> np.ndarray:
+    """Norb degenerate square-lattice bands with per-orbital crystal-field
+    shifts: H_ab(k) = δ_ab [-2 ts (cos kx + cos ky) + shifts_a].
+    shifts=[0,0]: drivers/ed_hm_2b_square.f90:128-147 (hk_model);
+    shifts=[0,0,0.5*ts]: drivers/ed_hm_3b_square.f90:133-152 (the dxy
+    orbital raised by dxy=0.5 ts). Returns [norb, norb, Nk^2]."""
+    shifts = np.zeros(norb) if shifts is None else np.asarray(shifts, float)
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    eps = np.array([-2 * ts * (np.cos(kx) + np.cos(ky))
+                    for kx in ks for ky in ks])
+    return (np.eye(norb)[:, :, None] * eps[None, None, :]
+            + np.diag(shifts)[:, :, None])
+
+
+def hk_multiband_cubic(nk: int = 16, ts: float = 0.5, norb: int = 2,
+                       shifts=None) -> np.ndarray:
+    """Norb degenerate simple-cubic bands
+    H_ab(k) = δ_ab [-2 ts (cos kx + cos ky + cos kz) + shifts_a]
+    (drivers/ed_hm_2b_cubic.f90 — the 3d twin of ed_hm_2b_square.f90).
+    Returns [norb, norb, Nk^3]."""
+    shifts = np.zeros(norb) if shifts is None else np.asarray(shifts, float)
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    eps = np.array([-2 * ts * (np.cos(kx) + np.cos(ky) + np.cos(kz))
+                    for kx in ks for ky in ks for kz in ks])
+    return (np.eye(norb)[:, :, None] * eps[None, None, :]
+            + np.diag(shifts)[:, :, None])
+
+
 def hk_square_2nn(nk: int = 32, ts: float = 0.25, tsp: float = 0.0,
                   nso: int = 1) -> np.ndarray:
     """Square lattice with 2nd-neighbor hopping (ed_hm_square_2nn.f90

@@ -181,11 +181,61 @@ def run(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
                       error=monitor.error)
 
 
+def run_2bands(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
+               wmixing: float = 0.75, log=None) -> TBLGResult:
+    """The ed_tBLG_wannier_2bands.f90 variant: the same 4x4 valley-block
+    H(k), but regrouped as Nvalley=2 inequivalent impurities each carrying
+    the TWO Wannier orbitals (Norb=2, Nspin=1 —
+    ed_tBLG_wannier_2bands.f90:59-62,97-112). The orbital off-diagonal
+    hybridization h±(k)[1,2] then enters the per-valley matrix Weiss
+    update instead of being dropped between single-orbital sites."""
+    cfg = cfg.validate()
+    if cfg.norb != 2 or cfg.nspin != 1:
+        raise ValueError("tBLG 2-bands driver: Norb=2, Nspin=1 "
+                         "(ed_tBLG_wannier_2bands.f90:59)")
+    _log = log if log is not None else (print if cfg.ed_verbose > 0
+                                        else lambda *a, **k: None)
+    hk = tblg_hk(idx, t, nk)                       # [4, 4, Nk]
+    nlat = 2                                       # the two valleys
+    hloc_so = hk.mean(axis=-1)
+    hloc_so[np.abs(hloc_so) < 1e-12] = 0.0
+    hloc_ineq = np.zeros((nlat, 1, 1, 2, 2), dtype=complex)
+    for v in range(nlat):
+        hloc_ineq[v, 0, 0] = hloc_so[2 * v:2 * v + 2, 2 * v:2 * v + 2]
+    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
+    baths = lsolver.init_solvers()
+    baths_prev = baths.copy()
+    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
+    converged, iloop = False, 0
+    gm_ineq = None
+    while not converged and iloop < cfg.nloop:
+        iloop += 1
+        _log(f"--- tBLG DMFT loop {iloop}/{cfg.nloop} (2 valleys x 2 orb)"
+             " ---")
+        lsolver.solve(baths)
+        smats_ineq = lsolver.get_sigma_matsubara()
+        gm_ineq = gloc_hk_lattice(cfg, hk, smats_ineq, "mats")
+        weiss_ineq = np.stack([
+            self_consistency(cfg, gm_ineq[v], smats_ineq[v], hloc_ineq[v])
+            for v in range(nlat)])
+        baths = lsolver.chi2_fitgf(weiss_ineq, baths, ispin=0)
+        if iloop > 1:
+            baths = wmixing * baths + (1 - wmixing) * baths_prev
+        baths_prev = baths.copy()
+        converged = monitor.check(weiss_ineq[0, 0, 0, 0, 0], log=_log)
+    return TBLGResult(converged=converged, iterations=iloop, baths=baths,
+                      smats_ineq=lsolver.get_sigma_matsubara(),
+                      gmats_ineq=gm_ineq,
+                      dens=lsolver.get_dens(),
+                      docc=lsolver.get_docc(),
+                      error=monitor.error)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     path = argv[0] if argv and "=" not in argv[0] else "inputGRAPHENE.conf"
     cfg = read_input(path, argv)
-    hopfile, nk, wmixing = "eff_hopping.dat", 100, 0.75
+    hopfile, nk, wmixing, variant = "eff_hopping.dat", 100, 0.75, "4site"
     for tok in argv:
         k, _, v = tok.partition("=")
         k = k.upper()
@@ -195,8 +245,11 @@ def main(argv=None):
             nk = int(v)
         elif k == "WMIXING":
             wmixing = float(v)
+        elif k == "VARIANT":
+            variant = v.lower()
     idx, t = read_hopping(hopfile)
-    r = run(cfg, idx, t, nk=nk, wmixing=wmixing)
+    fn = run_2bands if variant in ("2bands", "2band") else run
+    r = fn(cfg, idx, t, nk=nk, wmixing=wmixing)
     print(f"converged={r.converged} iters={r.iterations} dens={r.dens}")
     return r
 

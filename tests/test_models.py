@@ -287,3 +287,25 @@ def test_nano_isoc_hexagon(rundir):
     # TRS: the spin-resolved GFs coincide (no magnetization)
     np.testing.assert_allclose(r.smats_ineq[:, 0, 0], r.smats_ineq[:, 1, 1],
                                atol=2e-4)  # fit-level noise; TRS exact
+
+
+def test_tblg_2bands_u0_exact(rundir):
+    """ed_tBLG_wannier_2bands variant at U=0: Sigma == 0 and each valley's
+    2x2 Gloc equals the exact noninteracting k-sum (the orbital matrix
+    structure, incl. complex off-diagonals, is kept inside one impurity —
+    ed_tBLG_wannier_2bands.f90:59-62,97-112)."""
+    from dmft_ed_tpu.models import tblg
+    from dmft_ed_tpu.lattice import gloc_hk_lattice
+    idx, t = tblg.synthetic_hopping(rng=3)
+    cfg = EDConfig(norb=2, nbath=2, nspin=1, uloc=(0.0, 0.0),
+                   bath_type="hybrid", beta=30.0, lmats=80, lreal=20,
+                   lfit=80, nloop=2, dmft_error=1e-4, ed_verbose=0,
+                   lanc_dim_threshold=1024).validate()
+    r = tblg.run_2bands(cfg, idx, t, nk=4, wmixing=0.7, log=lambda m: None)
+    assert np.abs(r.smats_ineq).max() < 1e-7
+    hk = tblg.tblg_hk(idx, t, nk=4)
+    s0 = np.zeros((2, 1, 1, 2, 2, cfg.lmats), dtype=complex)
+    g_exact = gloc_hk_lattice(cfg, hk, s0, "mats")
+    np.testing.assert_allclose(r.gmats_ineq, g_exact, atol=1e-7)
+    # valley time-reversal partners: equal densities
+    np.testing.assert_allclose(r.dens[0], r.dens[1], atol=1e-6)
