@@ -1,5 +1,8 @@
 """Twisted bilayer graphene flat-band effective model from Wannier
-hoppings (drivers/ed_tBLG_wannier.f90; model of arXiv:1805.06819).
+hoppings (drivers/ed_tBLG_wannier.f90; model of arXiv:1805.06819;
+drivers/ed_effective_tBLG.f90 is byte-identical to ed_tBLG_wannier.f90 and
+is covered by this same module; the Nvalley=2 x Norb=2 regrouping of
+ed_tBLG_wannier_2bands.f90 is `run_2bands` below).
 
 The reference reads ``eff_hopping.dat`` — lines ``m n p q Re Im`` giving the
 hopping t_pq(R = m*L1 + n*L2) in eV between the two Wannier flat-band
