@@ -12,7 +12,7 @@ hardware, not a kernel microbench (VERDICT round 1, item 2):
 - ``large``: the same Bethe loop with Nbath=11 (Ns=12; largest sector
   dim 853k — the ed_nano-class scale where the reference needs its MPI
   row-partitioned ARPACK), fixed iteration count, Krylov in
-  effective-f64 ozaki6 on the MXU. Reports seconds per DMFT iteration;
+  effective-f64 ozaki5x7 on the MXU. Reports seconds per DMFT iteration;
   vs_baseline compares against a CPU run of the identical config when
   artifacts/large_sector_cpu.json exists (run ``--workload large --cpu``
   once to produce it).
@@ -65,11 +65,11 @@ def run_canonical(nloop: int):
 def run_large(nloop: int, cpu: bool):
     from dmft_ed_tpu.config import EDConfig
     from dmft_ed_tpu.models import hm_bethe
-    # effective-f64 ozaki6 Krylov on the TPU MXU; exact BLAS f64 on CPU
+    # effective-f64 ozaki5x7 Krylov on the TPU MXU; exact BLAS f64 on CPU
     cfg = EDConfig(norb=1, nbath=11, nspin=1, uloc=(2.0,), beta=100.0,
                    lmats=1024, lreal=256, dmft_error=1e-12, nloop=nloop,
                    lanc_niter=256, lanc_ngfiter=200, lanc_method="lanczos",
-                   matmul_precision="native" if cpu else "ozaki6",
+                   matmul_precision="native" if cpu else "ozaki5x7",
                    ed_verbose=0).validate()
     t0 = time.time()
     r = hm_bethe.run(cfg, le=300, wmixing=0.5)

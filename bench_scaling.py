@@ -44,7 +44,7 @@ from dmft_ed_tpu.parallel.hxv import (sharded_sector_op,  # noqa: E402
 from dmft_ed_tpu.lanczos import lanczos_tridiag_blocks  # noqa: E402
 
 
-def build(nbath=13, dtype="float64", prec="ozaki6"):
+def build(nbath=13, dtype="float64", prec="ozaki5x7"):
     cfg = EDConfig(norb=1, nbath=nbath, nspin=1, uloc=(2.0,), dtype=dtype,
                    matmul_precision=prec,
                    dense_matmul_threshold=8192).validate()

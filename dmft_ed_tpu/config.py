@@ -105,10 +105,12 @@ class EDConfig:
     # TPU-specific knobs (no reference analogue)
     dense_matmul_threshold: int = 4096  # per-spin dim below which H_sigma is dense
     dtype: str = "float64"        # working real dtype for Krylov vectors
-    matmul_precision: str = "native"  # "native" | "ozaki4".."ozaki8":
+    matmul_precision: str = "native"  # "native" | "ozakiN" | "ozakiNxB":
     #   ozakiN runs the dense H·v matmuls as N-slice int8 digit products with
     #   exact int32 accumulation (ozaki.py) — near-f64 accuracy at a fraction
     #   of the TPU f64-emulation cost. Real-valued operators only.
+    #   "ozakiNxB" uses B-bit digits (B ≤ 7): "ozaki5x7" matches ozaki6's
+    #   ~1e-10 accuracy class with 15 instead of 21 digit-pair MACs (1.4x).
     shard_dim_threshold: int = 1 << 17  # sector dim above which Krylov
     #   solves row-shard over the mesh 'rows' axis when a mesh is given
     #   (the production analogue of the reference's MPI row split,

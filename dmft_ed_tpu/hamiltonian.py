@@ -529,11 +529,11 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
     vdtype = cdtype if is_cplx else rdtype
     thr = cfg.dense_matmul_threshold
     # Ozaki int8-digit matmuls: real f64 dense operators only
-    ozaki_n = 0
+    ozaki_n = ozaki_b = 0
     if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
             and rdtype == jnp.float64:
-        ozaki_n = int(cfg.matmul_precision[5:] or 6)
         from . import ozaki as _ozaki
+        ozaki_n, ozaki_b = _ozaki.parse_precision(cfg.matmul_precision)
 
     diag = [jnp.asarray(d, dtype=rdtype) for d in ham.diag]
 
@@ -545,9 +545,9 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
             dense = coo.to_dense()
             if ozaki_n:
                 if side == "left":
-                    op = _ozaki.SlicedMatrix(dense, ozaki_n)
+                    op = _ozaki.SlicedMatrix(dense, ozaki_n, ozaki_b)
                 else:
-                    op = _ozaki.SlicedRightOperand(dense.T, ozaki_n)
+                    op = _ozaki.SlicedRightOperand(dense.T, ozaki_n, ozaki_b)
                 return ("ozaki_" + side, op)
             return ("dense", jnp.asarray(dense, dtype=vdtype))
         return ("coo", (jnp.asarray(coo.rows, dtype=jnp.int32),
@@ -571,7 +571,7 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
             return v @ dat.T
         if kind == "ozaki_right":
             return _ozaki.right_sliced_matmul(v, dat.digits, dat.scales,
-                                              dat.nslices)
+                                              dat.nslices, dat.bits)
         if dat[0].shape[0]:
             return _apply_spin_coo_up(v, dat, out_cols)
         return None
@@ -582,7 +582,7 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
             return dat @ v
         if kind == "ozaki_left":
             return _ozaki.sliced_matmul(dat.digits, dat.scales, v,
-                                        dat.nslices)
+                                        dat.nslices, dat.bits)
         if dat[0].shape[0]:
             return _apply_spin_coo_dw(v, dat, out_rows)
         return None
@@ -662,10 +662,11 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
     is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
     vdtype = cdtype if is_cplx else rdtype
     thr = cfg.dense_matmul_threshold
-    ozaki_n = 0
+    ozaki_n = ozaki_b = 0
     if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
             and rdtype == jnp.float64:
-        ozaki_n = int(cfg.matmul_precision[5:] or 6)
+        from . import ozaki as _oz
+        ozaki_n, ozaki_b = _oz.parse_precision(cfg.matmul_precision)
 
     arrays = []
 
@@ -679,13 +680,12 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
         if max(n, m) <= thr:
             dense = coo.to_dense()
             if ozaki_n:
-                from . import ozaki as _oz
                 if side == "left":
-                    op = _oz.SlicedMatrix(dense, ozaki_n)
+                    op = _oz.SlicedMatrix(dense, ozaki_n, ozaki_b)
                 else:
-                    op = _oz.SlicedRightOperand(dense.T, ozaki_n)
+                    op = _oz.SlicedRightOperand(dense.T, ozaki_n, ozaki_b)
                 idx = push(op.digits, op.scales)
-                return ("oz" + side[0], ozaki_n) + idx
+                return ("oz" + side[0], ozaki_n, ozaki_b) + idx
             idx = push(jnp.asarray(dense, dtype=vdtype))
             return ("dense",) + idx
         if coo.rows.size == 0:
@@ -728,11 +728,11 @@ def _applier(spec):
             return v @ dat.T if side == "right" else dat @ v
         if kind in ("ozr", "ozl"):
             from . import ozaki as _oz
-            nsl = kind_spec[1]
-            dg, sc = arrays[kind_spec[2]], arrays[kind_spec[3]]
+            nsl, bits = kind_spec[1], kind_spec[2]
+            dg, sc = arrays[kind_spec[3]], arrays[kind_spec[4]]
             if kind == "ozr":
-                return _oz.right_sliced_matmul(v, dg, sc, nsl)
-            return _oz.sliced_matmul(dg, sc, v, nsl)
+                return _oz.right_sliced_matmul(v, dg, sc, nsl, bits)
+            return _oz.sliced_matmul(dg, sc, v, nsl, bits)
         rows, cols, vals = (arrays[i] for i in kind_spec[1:4])
         if side == "right":
             return _apply_spin_coo_up(v, (rows, cols, vals), out_dim)

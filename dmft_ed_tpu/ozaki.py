@@ -2,21 +2,31 @@
 
 TPU f64 matmuls are software-emulated (~85x slower than f32 on v5e). This
 module reaches near-f64 accuracy at a fraction of that cost by slicing each
-f64 operand into 6-bit integer digits and contracting digit pairs on the
+f64 operand into B-bit integer digits and contracting digit pairs on the
 int8 MXU, where accumulation into int32 is *exact*:
 
-    A = diag(sa) · Σ_p 2^{-6(p+1)} A_p ,   A_p ∈ int8, |A_p| ≤ 64
-    B = Σ_q 2^{-6(q+1)} B_q · diag(sb)
-    A·B = diag(sa) [ Σ_{p+q<P} 2^{-6(p+q+2)} (A_p·B_q) ] diag(sb)
+    A = diag(sa) · Σ_p 2^{-B(p+1)} A_p ,   A_p ∈ int8, |A_p| ≤ 2^{B-1}
+    B = Σ_q 2^{-B(q+1)} B_q · diag(sb)
+    A·B = diag(sa) [ Σ_{p+q<P} 2^{-B(p+q+2)} (A_p·B_q) ] diag(sb)
 
-Truncation at P slice-pairs gives ~2^{-6P} relative error: P=6 → ~1e-10,
-P=8 → ~3e-13 (vs ~1e-6 for a plain f32 matmul).
+Operands are scaled into [-1/2, 1/2] (one extra power of two beyond the
+row max) so that EVERY digit — leading included — is bounded by 2^{B-1}
+after round-to-nearest: no int8 overflow for B ≤ 7 and a tight int32
+exactness bound. Truncation at P slice-pairs gives ~2^{-B·P} relative
+error. Two accuracy-equivalent schedules:
+
+    P=6, B=6 ("ozaki6"):   2^-36 class, P(P+1)/2 = 21 digit-pair products
+    P=5, B=7 ("ozaki5x7"): 2^-35 class, 15 digit-pair products — 1.4x
+                           fewer int8 MACs for the same ~1e-10 accuracy
+
+(vs ~1e-6 for a plain f32 matmul). B=7 is the int8 ceiling: B=8 digits
+reach ±128 and overflow.
 
 Scheduling (measured on v5e, 3432^3): the naive form — P(P+1)/2 separate
 int8 matmuls each followed by an emulated-f64 scale-and-add over the full
 [M, N] output — runs at 4.5 effective TF/s, accumulate-bound. Two
 rearrangements make it matmul-bound at the device's int8 dot rate
-(~165-176 TOPS via XLA; 7.7 eff TF/s, 1.7x):
+(~165-176 TOPS via XLA):
 
 1. **K-concatenation**: all digit products sharing one scale s = p+q are a
    single matmul over a concatenated contraction axis,
@@ -31,12 +41,12 @@ rearrangements make it matmul-bound at the device's int8 dot rate
    (~2^-48 effective), converted to f64 once at the end — no emulated-f64
    elementwise traffic (the TPU lowers f64 adds to ~10 f32 ops).
 
-Exactness bound: |Σ products| in a group ≤ K_cat·64·64 must stay < 2^31;
-with balanced digits (|digit| ≤ 32 beyond the leading one) the worst group
-bound is K·(2·64·32 + (P-2)·32·32). For K beyond that (sector row blocks
-> ~260k) the pairwise fallback is used: each (p, q) product enters the
-f32-pair accumulator individually (exact while 4096·K < 2^31), with the
-contraction axis chunked past K = 2^31/4096 so no int32 sum ever wraps.
+Exactness bound: with every digit ≤ D = 2^{B-1}, the worst concatenated
+group (s = P-1, contraction length P·k) is bounded by P·k·D² < 2^31
+(k < 349k for B=6 P=6; k < 104k for B=7 P=5). Beyond that the pairwise
+fallback is used: each (p, q) product enters the f32-pair accumulator
+individually (exact while k·D² < 2^31), with the contraction axis chunked
+past k = 2^31/D² so no int32 sum ever wraps.
 
 This is the TPU equivalent of "use the tensor cores for f64" known from the
 Ozaki-splitting literature; the reference gets f64 for free from its CPUs
@@ -51,72 +61,86 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BITS = 6
-_SCALE = float(1 << _BITS)
+_BITS = 6              # default digit width ("ozakiN" == N slices of 6 bits)
 _INT32_LIM = 2.0 ** 31
 
 
+def parse_precision(s: str):
+    """matmul_precision string -> (nslices, bits).
+
+    "ozaki6" -> (6, 6) (N slices of 6-bit digits); "ozaki5x7" -> (5, 7)
+    (N slices of B-bit digits). bits must be ≤ 7 (int8 digit ceiling).
+    """
+    part = s[5:] or "6"
+    if "x" in part:
+        n, b = part.split("x")
+        nslices, bits = int(n), int(b)
+    else:
+        nslices, bits = int(part), _BITS
+    if not (1 <= bits <= 7):
+        raise ValueError(f"ozaki digit width must be 1..7, got {bits} ({s})")
+    return nslices, bits
+
+
 def _row_scales(A, axis):
-    """Power-of-two scale per row/col so the scaled values lie in [-1, 1]."""
+    """Power-of-two scale per row/col so the scaled values lie in
+    [-1/2, 1/2] — one power of two above the max, which caps every digit
+    (leading included) at 2^{bits-1} under round-to-nearest."""
     m = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
     e = jnp.ceil(jnp.log2(jnp.where(m > 0, m, 1.0)))
-    return jnp.exp2(e)
+    return jnp.exp2(e + 1.0)
 
 
-def slice_digits(A, nslices: int, axis: int):
-    """(digits [nslices, ...] int8, scales) with A ≈ scales·Σ_p 2^{-6(p+1)}·D_p.
+def slice_digits(A, nslices: int, axis: int, bits: int = _BITS):
+    """(digits [nslices, ...] int8, scales) with
+    A ≈ scales·Σ_p 2^{-bits(p+1)}·D_p.
 
     axis: the non-contraction axis (rows of the left operand, cols of the
     right operand) along which the scaling is constant.
     """
-    scales = _row_scales(A, axis=1 - axis if A.ndim == 2 else None)
-    r = A / scales
-    digits = []
-    for p in range(nslices):
-        step = jnp.exp2(float(_BITS * (p + 1)))
-        q = jnp.round(r * step)
-        digits.append(q.astype(jnp.int8))
-        r = r - q / step
+    digits, scales = _digits_list(
+        A, nslices, scale_axis=1 - axis if A.ndim == 2 else None, bits=bits)
     return jnp.stack(digits), scales
 
 
-def _digits_list(A, nslices: int, scale_axis: int):
+def _digits_list(A, nslices: int, scale_axis, bits: int = _BITS):
     """Digit slices of A in A's own layout (no transposes), scales constant
     along `scale_axis` (0: per-column scales, 1: per-row scales)."""
     scales = _row_scales(A, axis=scale_axis)
     r = A / scales
     digits = []
     for p in range(nslices):
-        step = jnp.exp2(float(_BITS * (p + 1)))
+        step = jnp.exp2(float(bits * (p + 1)))
         q = jnp.round(r * step)
         digits.append(q.astype(jnp.int8))
         r = r - q / step
     return digits, scales
 
 
-def _cat_left(A, nslices: int):
+def _cat_left(A, nslices: int, bits: int):
     """Left operand A [m, k]: (Acat [m, P*k] = [A_0 | … | A_{P-1}],
     row scales [m, 1])."""
-    digits, sa = _digits_list(A, nslices, scale_axis=1)
+    digits, sa = _digits_list(A, nslices, scale_axis=1, bits=bits)
     return jnp.concatenate(digits, axis=1), sa
 
 
-def _cat_right(B, nslices: int):
+def _cat_right(B, nslices: int, bits: int):
     """Right operand B [k, n]: (Bcat [P*k, n] = [B_{P-1}; …; B_0],
     column scales [1, n])."""
-    digits, sb = _digits_list(B, nslices, scale_axis=0)
+    digits, sb = _digits_list(B, nslices, scale_axis=0, bits=bits)
     return jnp.concatenate(digits[::-1], axis=0), sb
 
 
-def _group_combine(pairs):
-    """Σ 2^{-6(s+2)} g over (s, g) exact-int32 terms via a TwoSum f32 pair."""
+def _group_combine(pairs, bits: int):
+    """Σ 2^{-bits(s+2)} g over (s, g) exact-int32 terms via a TwoSum f32
+    pair."""
     shape = pairs[0][1].shape
     hi = jnp.zeros(shape, jnp.float32)
     lo = jnp.zeros(shape, jnp.float32)
     for s, g in pairs:
         ghi = g.astype(jnp.float32)                  # lossless split of g
         glo = (g - ghi.astype(jnp.int32)).astype(jnp.float32)
-        sc = np.float32(2.0 ** (-_BITS * (s + 2)))
+        sc = np.float32(2.0 ** (-bits * (s + 2)))
         x = ghi * sc
         t = hi + x
         bp = t - hi
@@ -139,23 +163,24 @@ def _cat_groups(Acat, Bcat, nslices: int):
             for s in range(nslices)]
 
 
-def _cat_safe(k: int, nslices: int) -> bool:
-    """Worst-case exactness of the concatenated int32 group sums: only the
-    leading digit can reach 64, the rest are ≤ 32 after balanced rounding,
-    so group s = P-1 is bounded by k·(2·64·32 + (P-2)·32·32)."""
-    worst = k * (2 * 64 * 32 + max(nslices - 2, 0) * 32 * 32)
-    return worst < _INT32_LIM and k * 64 * 64 < _INT32_LIM
+def _cat_safe(k: int, nslices: int, bits: int = _BITS) -> bool:
+    """Worst-case exactness of the concatenated int32 group sums: every
+    digit is ≤ D = 2^{bits-1} (the [-1/2, 1/2] scaling bounds the leading
+    digit too), so group s = P-1 sums (P·k) products each ≤ D²."""
+    dmax = 1 << (bits - 1)
+    return nslices * k * dmax * dmax < _INT32_LIM
 
 
-def _pairwise(Ad, Bd_T, nslices: int):
+def _pairwise(Ad, Bd_T, nslices: int, bits: int):
     """Fallback: per-(p, q) int8 products, each combined INDIVIDUALLY into
-    the f32 TwoSum pair at scale 2^{-6(p+q+2)} — never summed in int32,
+    the f32 TwoSum pair at scale 2^{-bits(p+q+2)} — never summed in int32,
     since a group sum of s+1 products can exceed 2^31 exactly in the
     large-K regime where this fallback is selected. A single product is
-    exact while 4096·K < 2^31; beyond that the contraction axis is chunked
+    exact while D²·k < 2^31; beyond that the contraction axis is chunked
     and each exact chunk product enters the pair separately."""
     k = Ad[0].shape[1]
-    kmax = int(_INT32_LIM // (64 * 64)) - 1
+    dmax = 1 << (bits - 1)
+    kmax = int(_INT32_LIM // (dmax * dmax)) - 1
     bounds = list(range(0, k, kmax)) + [k] if k > kmax else [0, k]
     pairs = []
     for s in range(nslices):
@@ -167,23 +192,23 @@ def _pairwise(Ad, Bd_T, nslices: int):
     return pairs
 
 
-@partial(jax.jit, static_argnums=(2,))
-def matmul(A, B, nslices: int = 6):
+@partial(jax.jit, static_argnums=(2, 3))
+def matmul(A, B, nslices: int = 6, bits: int = _BITS):
     """A @ B in near-f64 precision via int8 digit products.
 
     A: [m, k] f64, B: [k, n] f64.
     """
     k = A.shape[1]
-    Acat, sa = _cat_left(A, nslices)
-    Bcat, sb = _cat_right(B, nslices)
-    if _cat_safe(k, nslices):
+    Acat, sa = _cat_left(A, nslices, bits)
+    Bcat, sb = _cat_right(B, nslices, bits)
+    if _cat_safe(k, nslices, bits):
         groups = _cat_groups(Acat, Bcat, nslices)
     else:
         Ad = [Acat[:, p * k:(p + 1) * k] for p in range(nslices)]
         Bd = [Bcat[(nslices - 1 - q) * k:(nslices - q) * k, :]
               for q in range(nslices)]
-        groups = _pairwise(Ad, Bd, nslices)
-    return _group_combine(groups) * sa * sb
+        groups = _pairwise(Ad, Bd, nslices, bits)
+    return _group_combine(groups, bits) * sa * sb
 
 
 class SlicedMatrix:
@@ -194,29 +219,30 @@ class SlicedMatrix:
     contraction axis; scales: [m, 1].
     """
 
-    def __init__(self, A, nslices: int = 6):
+    def __init__(self, A, nslices: int = 6, bits: int = _BITS):
         self.nslices = nslices
+        self.bits = bits
         self.shape = A.shape
-        self.digits, self.scales = _cat_left(jnp.asarray(A), nslices)
+        self.digits, self.scales = _cat_left(jnp.asarray(A), nslices, bits)
 
     def __matmul__(self, B):
         return sliced_matmul(self.digits, self.scales, jnp.asarray(B),
-                             self.nslices)
+                             self.nslices, self.bits)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def sliced_matmul(Acat, sa, B, nslices: int):
+@partial(jax.jit, static_argnums=(3, 4))
+def sliced_matmul(Acat, sa, B, nslices: int, bits: int = _BITS):
     """(pre-sliced A) @ B: Acat [m, P*k] ascending digit blocks, sa [m, 1]."""
     k = Acat.shape[1] // nslices
-    Bcat, sb = _cat_right(B, nslices)
-    if _cat_safe(k, nslices):
+    Bcat, sb = _cat_right(B, nslices, bits)
+    if _cat_safe(k, nslices, bits):
         groups = _cat_groups(Acat, Bcat, nslices)
     else:
         Ad = [Acat[:, p * k:(p + 1) * k] for p in range(nslices)]
         Bd = [Bcat[(nslices - 1 - q) * k:(nslices - q) * k, :]
               for q in range(nslices)]
-        groups = _pairwise(Ad, Bd, nslices)
-    return _group_combine(groups) * sa * sb
+        groups = _pairwise(Ad, Bd, nslices, bits)
+    return _group_combine(groups, bits) * sa * sb
 
 
 class SlicedRightOperand:
@@ -226,29 +252,30 @@ class SlicedRightOperand:
     contraction axis ([A_{P-1}; …; A_0]); scales: [1, n].
     """
 
-    def __init__(self, A, nslices: int = 6):
+    def __init__(self, A, nslices: int = 6, bits: int = _BITS):
         self.nslices = nslices
+        self.bits = bits
         self.shape = A.shape
-        self.digits, self.scales = _cat_right(jnp.asarray(A), nslices)
+        self.digits, self.scales = _cat_right(jnp.asarray(A), nslices, bits)
 
     def __rmatmul__(self, B):
         return right_sliced_matmul(jnp.asarray(B), self.digits, self.scales,
-                                   self.nslices)
+                                   self.nslices, self.bits)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def right_sliced_matmul(B, Acat, sa, nslices: int):
+@partial(jax.jit, static_argnums=(3, 4))
+def right_sliced_matmul(B, Acat, sa, nslices: int, bits: int = _BITS):
     """B @ (pre-sliced A): Acat [P*k, n] descending digit blocks, sa [1, n];
     B [m, k] sliced per row on the fly (its digit blocks concatenate
     ascending along the contraction axis: C_s = [B_0|…|B_s] @ [A_s;…;A_0])."""
     k = Acat.shape[0] // nslices
-    digits, sb = _digits_list(B, nslices, scale_axis=1)   # sb: [m, 1]
+    digits, sb = _digits_list(B, nslices, scale_axis=1, bits=bits)  # sb [m,1]
     Bcat = jnp.concatenate(digits, axis=1)                # [m, P*k]
-    if _cat_safe(k, nslices):
+    if _cat_safe(k, nslices, bits):
         groups = _cat_groups(Bcat, Acat, nslices)
     else:
         Bd = digits
         Ad = [Acat[(nslices - 1 - q) * k:(nslices - q) * k, :]
               for q in range(nslices)]
-        groups = _pairwise(Bd, Ad, nslices)
-    return _group_combine(groups) * sb * sa
+        groups = _pairwise(Bd, Ad, nslices, bits)
+    return _group_combine(groups, bits) * sb * sa

@@ -19,29 +19,41 @@ def test_matmul_accuracy():
     B = rng.normal(size=(300, 80)) * np.exp(rng.normal(size=(1, 80)) * 4)
     exact = A @ B
     scale = np.max(np.abs(exact))
-    for ns, tol in [(4, 1e-5), (6, 1e-9), (8, 1e-12)]:
-        got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), ns))
-        assert np.max(np.abs(got - exact)) / scale < tol, ns
+    for ns, bits, tol in [(4, 6, 1e-5), (6, 6, 1e-9), (8, 6, 1e-12),
+                          (4, 7, 1e-6), (5, 7, 1e-9)]:
+        got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B),
+                                      ns, bits))
+        assert np.max(np.abs(got - exact)) / scale < tol, (ns, bits)
 
 
-def test_sliced_operands():
+def test_parse_precision():
+    assert ozaki.parse_precision("ozaki6") == (6, 6)
+    assert ozaki.parse_precision("ozaki") == (6, 6)
+    assert ozaki.parse_precision("ozaki5x7") == (5, 7)
+    with pytest.raises(ValueError):
+        ozaki.parse_precision("ozaki5x8")   # 8-bit digits overflow int8
+
+
+@pytest.mark.parametrize("ns,bits", [(6, 6), (5, 7)])
+def test_sliced_operands(ns, bits):
     rng = np.random.default_rng(1)
     A = rng.normal(size=(90, 90))
     B = rng.normal(size=(90, 90))
     exact = A @ B
-    left = ozaki.SlicedMatrix(A, 6)
+    left = ozaki.SlicedMatrix(A, ns, bits)
     got = np.asarray(ozaki.sliced_matmul(left.digits, left.scales,
-                                         jnp.asarray(B), 6))
+                                         jnp.asarray(B), ns, bits))
     np.testing.assert_allclose(got, exact, atol=1e-9 * np.max(np.abs(exact)))
-    right = ozaki.SlicedRightOperand(B, 6)
+    right = ozaki.SlicedRightOperand(B, ns, bits)
     got2 = np.asarray(ozaki.right_sliced_matmul(jnp.asarray(A), right.digits,
-                                                right.scales, 6))
+                                                right.scales, ns, bits))
     np.testing.assert_allclose(got2, exact, atol=1e-9 * np.max(np.abs(exact)))
 
 
-def test_matvec_ozaki_vs_native():
+@pytest.mark.parametrize("prec", ["ozaki6", "ozaki5x7"])
+def test_matvec_ozaki_vs_native(prec):
     cfg = EDConfig(norb=1, nbath=6, nspin=1, uloc=(2.0,),
-                   matmul_precision="ozaki6").validate()
+                   matmul_precision=prec).validate()
     rng = np.random.default_rng(2)
     bath = Bath(cfg)
     bath.e[:] = np.linspace(-1, 1, cfg.nbath)[None, None, :]
@@ -69,24 +81,25 @@ def test_pairwise_fallback_chunked(monkeypatch):
     A = rng.normal(size=(31, 97))
     B = rng.normal(size=(97, 29))
     exact = A @ B
-    monkeypatch.setattr(ozaki, "_INT32_LIM", 4096.0 * 40)  # kmax = 39 < 97
+    monkeypatch.setattr(ozaki, "_INT32_LIM", 1024.0 * 40)  # kmax = 39 < 97
     got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), 6))
     assert np.max(np.abs(got - exact)) / np.max(np.abs(exact)) < 1e-9
 
 
 @pytest.mark.slow
-def test_pairwise_fallback_natural_k():
+@pytest.mark.parametrize("ns,bits,K", [(6, 6, 400_000), (5, 7, 120_000)])
+def test_pairwise_fallback_natural_k(ns, bits, K):
     """K past the _cat_safe bound engages the fallback with the real
-    int32 limit; adversarial near-1 values maximize digit magnitudes
-    (the case where the old int32 group accumulation wrapped)."""
+    int32 limit; adversarial values hit the max digit magnitude 2^{bits-1}
+    on the two leading digits (the case where an int32 group accumulation
+    could wrap): r = 1/2 - 2^{-bits-1} slices to digits (D, -D, 0, ...)."""
     rng = np.random.default_rng(6)
-    K = 300_000
-    assert not ozaki._cat_safe(K, 6)
-    v = 1.0 - 32.0 / 4096.0 * (64.0 / 63.0)   # digits ~ (64, -32, -32, ...)
+    assert not ozaki._cat_safe(K, ns, bits)
+    v = 0.5 - 2.0 ** (-bits - 1)
     A = np.where(rng.random((4, K)) < 0.5, v, -v)
     B = np.where(rng.random((K, 4)) < 0.5, v, -v)
     exact = A @ B
-    got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), 6))
+    got = np.asarray(ozaki.matmul(jnp.asarray(A), jnp.asarray(B), ns, bits))
     assert np.max(np.abs(got - exact)) / np.max(np.abs(exact)) < 1e-9
 
 
