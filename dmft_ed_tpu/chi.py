@@ -213,6 +213,48 @@ def _nvec(ns, coeffs):
     return up, dw
 
 
+def build_chi_dens_mix(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                       log=None, mesh=None):
+    """χ_mix^{ab}: orbital-mixing density response over ALL pairs (a, b),
+    diagonal included — the reference's separate densChi_mix_* arrays
+    (ED_GF_CHIDENS.f90:490-673, add_to_lanczos_densChi_mix). Per spin
+    species σ (the reference loops ispin=1..Nspin, so Nspin=1 probes the
+    up channel only — mirrored here), two independent Krylov chains:
+
+        isign=+1 with v = c†_{b,σ} c_{a,σ} |ψ⟩
+        isign=-1 with v = c†_{a,σ} c_{b,σ} |ψ⟩
+
+    both number-conserving, so the resolvent runs in the state's own
+    sector. Returns (tau, iv, w) arrays shaped [norb, norb, L]."""
+    if log:
+        log("Get impurity dens Chi (mix):")
+    from .excitations import apply_hop_op
+    table = sector_table(cfg)
+    norb = cfg.norb
+
+    def hop(spin, src, dst, isign):
+        def build(sector, vec, _s=spin, _a=src, _b=dst, _i=isign):
+            w = apply_hop_op(cfg, table, sector, vec, _s, _a, _b)
+            if w is None:
+                return None
+            return sector, w, 1.0, (_i,)
+        return build
+
+    rows = []
+    for a in range(norb):
+        for b in range(norb):
+            row = a * norb + b
+            for s in range(cfg.nspin):
+                rows.append((row, hop(s, a, b, 1)))
+                rows.append((row, hop(s, b, a, -1)))
+    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                                 rows, log, mesh)
+    shape = (norb, norb)
+    return (tau_.reshape(shape + tau_.shape[-1:]),
+            iv_.reshape(shape + iv_.shape[-1:]),
+            w_.reshape(shape + w_.shape[-1:]))
+
+
 def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
                    log=None, mesh=None):
     """χ_pair_aa with the pair operator Δ_a = c_{a,dw} c_{a,up}

@@ -100,6 +100,41 @@ def apply_spin_op(cfg: EDConfig, table: SectorTable, sector: Sector,
     return jsec, out
 
 
+def apply_hop_op(cfg: EDConfig, table: SectorTable, sector: Sector,
+                 vec_flat, spin: int, src: int, dst: int):
+    """w = c†_{dst,spin} c_{src,spin} v — number-conserving one-body hop
+    back into the SAME sector (the reference assembles it as the two-step
+    c/c† excitation, ED_GF_CHIDENS.f90:523-560 / :596-632; here it is one
+    per-block COO product, fock.hop_op). The two (-1)^{N_up} JW factors
+    of a down-spin c/c† pair cancel, so no cross-spin phase appears. In
+    the Jz basis, components leaving the block's Lz class are dropped
+    (same convention as apply_op_combo). Returns the flat vector."""
+    ns = cfg.ns
+    Vb = np_unflatten_blocks(np.asarray(vec_flat), sector)
+    out = np.zeros(sector.dim, dtype=np.asarray(vec_flat).dtype)
+    for bi, (blk, V) in enumerate(zip(sector.blocks, Vb)):
+        n_sp = blk.nup if spin == 0 else blk.ndw
+        r, c, s = fock.hop_op(ns, n_sp, dst, src)
+        if r.size == 0:
+            continue
+        if sector.subsel is not None:
+            sel = sector.up_sel(bi) if spin == 0 else sector.dw_sel(bi)
+            from math import comb as _comb
+            nfull = _comb(ns, n_sp)
+            pos = np.full(nfull, -1, np.int64)
+            pos[sel] = np.arange(sel.size)
+            r, c, s = fock.restrict_coo(r, c, s, pos, pos)
+            if r.size == 0:
+                continue
+        W = np.zeros((blk.ddw, blk.dup), dtype=out.dtype)
+        if spin == 0:
+            np.add.at(W, (slice(None), r), s[None, :] * V[:, c])
+        else:
+            np.add.at(W, (r, slice(None)), s[:, None] * V[c, :])
+        out[blk.offset:blk.offset + blk.dim] += W.ravel()
+    return out
+
+
 def apply_op_combo(cfg: EDConfig, table: SectorTable, sector: Sector,
                    vec_flat, terms) -> Optional[Tuple[Sector, np.ndarray]]:
     """w = Σ coeff * c^(†)_{level,spin} v  for terms = [(coeff, spin, level,

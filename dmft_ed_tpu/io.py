@@ -150,7 +150,8 @@ def write_energy(cfg: EDConfig, E, suffix: str = "") -> None:
 
 def write_chi(cfg: EDConfig, name: str, chi_tau, chi_iv, chi_w,
               suffix: str = "") -> None:
-    """impChi<name>_tau/_iv/_realw files (print_chi)."""
+    """<name>_l{a}{b}_tau/_iw/_realw files (print_impChi.f90:28-52; the
+    Matsubara file carries the reference's `_iw` suffix)."""
     tau = grids.imaginary_time(cfg)
     vm = grids.matsubara_bosonic(cfg)
     wr = grids.real_axis(cfg)
@@ -161,5 +162,5 @@ def write_chi(cfg: EDConfig, name: str, chi_tau, chi_iv, chi_w,
             if a != b and not np.any(chi_tau[a, b]):
                 continue
             splot(f"{name}{tag}_tau{suffix}.ed", tau, chi_tau[a, b])
-            splot(f"{name}{tag}_iv{suffix}.ed", vm, chi_iv[a, b])
+            splot(f"{name}{tag}_iw{suffix}.ed", vm, chi_iv[a, b])
             splot(f"{name}{tag}_realw{suffix}.ed", wr, chi_w[a, b])

@@ -47,6 +47,7 @@ class SolveResult:
     nstates: int = 0
     chi_spin: tuple = None
     chi_dens: tuple = None
+    chi_dens_mix: tuple = None
     chi_pair: tuple = None
 
 
@@ -161,6 +162,12 @@ class EDSolver:
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
                     mesh=self.mesh)
                 edio.write_chi(cfg, "densChi", *res.chi_dens, self.suffix)
+                if cfg.norb > 1:
+                    res.chi_dens_mix = chi_mod.build_chi_dens_mix(
+                        cfg, slist, zeta, bath, self.hloc, finite_t,
+                        self.log, mesh=self.mesh)
+                    edio.write_chi(cfg, "densChi_mix", *res.chi_dens_mix,
+                                   self.suffix)
             if cfg.chipair_flag:
                 res.chi_pair = chi_mod.build_chi_pair(
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
