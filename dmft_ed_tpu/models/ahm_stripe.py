@@ -61,6 +61,45 @@ def stripe_upattern(lx: int, ly: int, u0: float, u1: float) -> np.ndarray:
     return u
 
 
+def stack_hk(nlayers: int, n_umin: int, nk: int = 6, nkz: int = 4,
+             ts: float = 0.25, t_perp: float = 0.5,
+             alpha_join: float = 1.0) -> np.ndarray:
+    """U-stack superlattice Bloch Hamiltonian (drivers/ed_ahm_stackU.f90:
+    212-245): a periodic stack of 2D layers — per-layer in-plane
+    dispersion -2·ts·(cos kx + cos ky), interlayer bonds -t_slab(i)
+    between layers i, i+1 and the Bloch-phased wrap bond along the stack
+    axis. t_slab = t_perp everywhere except inside the U_min domain
+    (layers 1..n_umin) and on the wrap bond, which are scaled by
+    alpha_join (the junction-coupling knob). [Nlat, Nlat, nk²·nkz]."""
+    t_slab = np.full(nlayers, t_perp)
+    t_slab[:n_umin] = t_perp * alpha_join
+    t_slab[nlayers - 1] = t_perp * alpha_join
+    ks = np.linspace(-np.pi, np.pi, nk, endpoint=False)
+    kzs = np.linspace(-np.pi, np.pi, nkz, endpoint=False)
+    hks = []
+    for kx in ks:
+        for ky in ks:
+            eps = -2.0 * ts * (np.cos(kx) + np.cos(ky))
+            for kz in kzs:
+                h = np.diag(np.full(nlayers, eps + 0j))
+                for i in range(nlayers - 1):
+                    h[i, i + 1] += -t_slab[i]
+                    h[i + 1, i] += -t_slab[i]
+                h[0, nlayers - 1] += -t_slab[nlayers - 1] * np.exp(1j * kz)
+                h[nlayers - 1, 0] += -t_slab[nlayers - 1] * np.exp(-1j * kz)
+                hks.append(h)
+    return np.stack(hks, axis=-1)
+
+
+def stack_upattern(nlayers: int, n_umin: int, u_min: float,
+                   u_max: float) -> np.ndarray:
+    """Per-layer U of the stack: u_min on layers 1..n_umin, u_max on the
+    rest (ed_ahm_stackU.f90:284-286)."""
+    u = np.full(nlayers, u_max)
+    u[:n_umin] = u_min
+    return u
+
+
 @dataclass
 class AhmStripeResult:
     converged: bool
@@ -75,16 +114,20 @@ class AhmStripeResult:
 
 def run(cfg: EDConfig, lx: int = 2, ly: int = 1, nk: int = 8,
         ts: float = 0.25, uloc_sites=None, wmixing: float = 0.5,
-        log=None) -> AhmStripeResult:
+        log=None, hk=None) -> AhmStripeResult:
+    """hk: optional prebuilt supercell Bloch Hamiltonian [Nlat, Nlat, Nk]
+    replacing the stripe builder (used by run_stack for the stackU
+    geometry)."""
     cfg = cfg.validate()
     assert cfg.ed_mode == "superc" and cfg.norb == 1 and cfg.nspin == 1
     _log = log if log is not None else (print if cfg.ed_verbose > 0
                                         else lambda *a, **k: None)
-    nlat = lx * ly
+    nlat = lx * ly if hk is None else hk.shape[0]
     if uloc_sites is None:
         uloc_sites = stripe_upattern(lx, ly, cfg.uloc[0], 0.5 * cfg.uloc[0])
     uloc_sites = np.asarray(uloc_sites, dtype=float)
-    hk = stripe_hk(lx, ly, nk, ts)
+    if hk is None:
+        hk = stripe_hk(lx, ly, nk, ts)
     hloc_ineq = np.zeros((nlat, 1, 1, 1, 1))
     cfgs = [cfg.replace(uloc=(float(uloc_sites[i]),)) for i in range(nlat)]
     lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log, cfgs=cfgs)
@@ -116,6 +159,24 @@ def run(cfg: EDConfig, lx: int = 2, ly: int = 1, nk: int = 8,
                            docc=lsolver.get_docc()[:, 0],
                            phisc=phisc[:, 0], uloc_sites=uloc_sites,
                            error=monitor.error)
+
+
+def run_stack(cfg: EDConfig, nlayers: int = 4, n_umin: int = 2,
+              nk: int = 6, nkz: int = 4, ts: float = 0.25,
+              t_perp: float = 0.5, alpha_join: float = 1.0,
+              u_min: float = None, u_max: float = None,
+              wmixing: float = 0.5, log=None) -> AhmStripeResult:
+    """drivers/ed_ahm_stackU.f90: attractive-Hubbard heterostructure — a
+    periodic stack of 2D layers with two U domains (u_min on layers
+    1..n_umin, u_max on the rest) joined through alpha_join-scaled
+    interlayer bonds; every layer is an inequivalent superc impurity."""
+    if u_max is None:
+        u_max = cfg.uloc[0]
+    if u_min is None:
+        u_min = 0.5 * cfg.uloc[0]
+    hk = stack_hk(nlayers, n_umin, nk, nkz, ts, t_perp, alpha_join)
+    uloc = stack_upattern(nlayers, n_umin, u_min, u_max)
+    return run(cfg, uloc_sites=uloc, wmixing=wmixing, log=log, hk=hk)
 
 
 def main(argv=None):

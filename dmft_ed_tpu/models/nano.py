@@ -34,6 +34,31 @@ class NanoResult:
     docc: np.ndarray
     ekin: float
     error: float
+    mag_xy: np.ndarray = None   # [nineq, 3] (Sx, Sy, Sz), nonsu2 only
+
+
+def mag_xy(cfg: EDConfig, gmats_ineq: np.ndarray) -> np.ndarray:
+    """Per-site spin texture from the spin-resolved Matsubara occupation
+    sums n_{ss'} = 2/β Σ_n G_{ss'}(iω_n) of orbital 1
+    (drivers/ed_nano_xy.f90:145-156, the magXY.ed observable):
+
+        Sx = ½(n↑↓ + n↓↑),  Sy = -i/2 (n↑↓ - n↓↑),  Sz = ½(n↑↑ - n↓↓)
+
+    (real parts, as the reference's real(8) assignment takes). Returns
+    [nineq, 3]."""
+    n = 2.0 / cfg.beta * np.sum(gmats_ineq[:, :, :, 0, 0, :], axis=-1)
+    sx = 0.5 * (n[:, 0, 1] + n[:, 1, 0])
+    sy = -0.5j * (n[:, 0, 1] - n[:, 1, 0])
+    sz = 0.5 * (n[:, 0, 0] - n[:, 1, 1])
+    return np.stack([sx.real, sy.real, sz.real], axis=1)
+
+
+def write_mag_xy(mag: np.ndarray, path: str = "magXY.ed") -> None:
+    """magXY.ed: one line per inequivalent site — index Sx Sy Sz
+    (ed_nano_xy.f90:145-156)."""
+    with open(path, "w") as fh:
+        for i, (sx, sy, sz) in enumerate(mag):
+            fh.write(f"{i + 1} {sx:.12e} {sy:.12e} {sz:.12e}\n")
 
 
 def square_flake_hij(lx: int, ly: int, t: float = 1.0,
@@ -283,9 +308,14 @@ def run(cfg: EDConfig, hij: np.ndarray, lat2ineq: np.ndarray,
         for (i, io, isp), (j, jo, jsp) in enforce_map:
             smats_ineq[j, jsp, jsp, jo, jo] = smats_ineq[i, isp, isp, io, io]
     ekin = kinetic_energy_realspace(cfg, hij, smats_ineq[lat2ineq])
+    mxy = None
+    if cfg.nspin == 2 and gm_lat is not None:
+        # in-plane spin texture + magXY.ed (ed_nano_xy.f90:145-156)
+        mxy = mag_xy(cfg, gm_lat[ineq2lat])
+        write_mag_xy(mxy)
     return NanoResult(converged=converged, iterations=iloop, baths=baths,
                       smats_ineq=smats_ineq, gmats_lat=gm_lat,
                       weiss_ineq=weiss_ineq,
                       dens=lsolver.get_dens()[lat2ineq][:, 0],
                       docc=lsolver.get_docc()[lat2ineq][:, 0],
-                      ekin=ekin, error=monitor.error)
+                      ekin=ekin, error=monitor.error, mag_xy=mxy)

@@ -120,6 +120,50 @@ def test_stripe_hk_limits():
     np.testing.assert_allclose(np.sort(hk1.real), np.sort(eps), atol=1e-12)
 
 
+def test_stack_hk_limits():
+    """U-stack superlattice builder (ed_ahm_stackU.f90:212-245): hermitian;
+    a single layer with periodic wrap reproduces the full 3D cubic band
+    -2t(cos kx + cos ky) - 2 t_perp cos kz; alpha_join scales the U_min
+    domain and wrap bonds only."""
+    from dmft_ed_tpu.models.ahm_stripe import stack_hk, stack_upattern
+    hk = stack_hk(4, 2, nk=4, nkz=4, ts=0.3, t_perp=0.5, alpha_join=0.7)
+    np.testing.assert_allclose(hk, hk.conj().transpose(1, 0, 2), atol=1e-12)
+    # interior bond 2->3 (outside the U_min domain) keeps full t_perp
+    np.testing.assert_allclose(hk[2, 3], -0.5, atol=1e-12)
+    # bond 0->1 sits in the U_min domain: scaled by alpha_join
+    np.testing.assert_allclose(hk[0, 1], -0.35, atol=1e-12)
+    hk1 = stack_hk(1, 0, nk=4, nkz=4, ts=0.3, t_perp=0.5)[0, 0]
+    ks = np.linspace(-np.pi, np.pi, 4, endpoint=False)
+    eps = np.array([-2 * 0.3 * (np.cos(kx) + np.cos(ky))
+                    - 2 * 0.5 * np.cos(kz)
+                    for kx in ks for ky in ks for kz in ks])
+    np.testing.assert_allclose(np.sort(hk1.real), np.sort(eps), atol=1e-12)
+    np.testing.assert_allclose(stack_upattern(4, 2, -1.0, -3.0),
+                               [-1.0, -1.0, -3.0, -3.0])
+
+
+@pytest.mark.slow
+def test_ahm_stack_u_heterostructure(tmp_path, monkeypatch):
+    """ed_ahm_stackU: two-layer U heterostructure — the strong-|U| layer
+    orders more strongly; the junction coupling alpha_join flows through
+    the stack Bloch Hamiltonian."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.models import ahm_stripe
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(-3.0,), ed_mode="superc",
+                   deltasc=0.1, beta=60.0, lmats=150, lreal=30, lfit=150,
+                   nloop=12, dmft_error=1e-3, ed_verbose=0,
+                   lanc_dim_threshold=2048).validate()
+    r = ahm_stripe.run_stack(cfg, nlayers=2, n_umin=1, nk=6, nkz=4,
+                             ts=0.25, t_perp=0.4, alpha_join=0.8,
+                             u_min=-1.5, u_max=-3.0, wmixing=0.5,
+                             log=lambda m: None)
+    assert r.error < 1e-2
+    np.testing.assert_allclose(r.dens, 1.0, atol=0.03)
+    # layer 0 has U=-1.5, layer 1 has U=-3: stronger pairing on layer 1
+    assert r.phisc[1] > r.phisc[0] > 0.0
+    assert r.docc[1] > r.docc[0]
+
+
 @pytest.mark.slow
 def test_ahm_stripe_u_modulated_sc(tmp_path, monkeypatch):
     """ed_ahm_stripe: the strong-U stripe orders more strongly than the

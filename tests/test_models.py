@@ -287,6 +287,30 @@ def test_nano_isoc_hexagon(rundir):
     # TRS: the spin-resolved GFs coincide (no magnetization)
     np.testing.assert_allclose(r.smats_ineq[:, 0, 0], r.smats_ineq[:, 1, 1],
                                atol=2e-4)  # fit-level noise; TRS exact
+    # ed_nano_xy observable: TRS forbids any spin polarization — the
+    # magXY.ed texture vanishes (fit-level tolerance)
+    assert r.mag_xy.shape == (1, 3)
+    np.testing.assert_allclose(r.mag_xy, 0.0, atol=1e-3)
+    import os
+    assert os.path.exists("magXY.ed")
+
+
+def test_mag_xy_formula():
+    """mag_xy reproduces ed_nano_xy.f90:145-156 on a synthetic spin-matrix
+    GF: a pure iω_n tail leaves n_ss' = 2/β Σ_n G_ss'; a polarized
+    diagonal gives ±Sz, a symmetric off-diagonal gives Sx, an
+    antisymmetric imaginary one gives Sy."""
+    from dmft_ed_tpu.models.nano import mag_xy
+    cfg = EDConfig(norb=1, nbath=1, nspin=2, uloc=(1.0,), beta=10.0,
+                   lmats=4).validate()
+    g = np.zeros((1, 2, 2, 1, 1, 4), dtype=complex)
+    g[0, 0, 0, 0, 0, :] = 1.0   # n_uu = 2/beta * 4 = 0.8
+    g[0, 0, 1, 0, 0, :] = 0.5   # n_ud = 0.4
+    g[0, 1, 0, 0, 0, :] = 0.5j  # n_du = 0.4j
+    m = mag_xy(cfg, g)
+    np.testing.assert_allclose(m[0, 0], 0.2)    # Sx = Re ½(n_ud+n_du)
+    np.testing.assert_allclose(m[0, 1], -0.2)   # Sy = Re[-i/2(0.4-0.4j)]
+    np.testing.assert_allclose(m[0, 2], 0.4)    # Sz = ½ n_uu
 
 
 def test_tblg_2bands_u0_exact(rundir):
