@@ -26,17 +26,30 @@ Families:
   blg                 bilayer graphene AA/AB stackings (4-sublattice)
   lattice_loop        shared inequivalent-site k-space DMFT loop
   soc_ineq            t2g+SOC inequivalent sites (ed_SOC_ineq)
+  twisted_blg         microscopic twisted BLG + effective flat-band model
+                      (ed_twistedBLG / ed_effective_tBLG)
+  bhz_edge_afm        BHZ edge strip with AFM stripe order
+  hm_multiband        named multiband Bloch builders (2b/3b square, 2b
+                      cubic, daghofer, fcc3d-hyb, square_2nn)
+  hm_2bands_bethe     2-band Bethe with bandwidth ratio (Wband array)
+  hm_dos              DOS-file-driven loops (ed_hm_square_dos/2bands_dos)
+  nano_isoc_sq        square-torus intrinsic SOC + chi0(q) + local Chern
+  hartree_nano        static Hartree mean-field nano loop (hartree_nano)
 """
 
 from . import (hm_bethe, hm_bethe_nbands, hm_bethe_afm, ahm_bethe, bhz_2d,
                soc, kspace, nano, hm_square_lattice, hm_slab, ahm_disorder,
                tblg, ahm_square, bhz_3d, ahm_stripe, haldane_sc,
                kspace_afm, material, bhz_edge, ehm_bethe, ahm_2bands,
-               bhz_afm, wsm_slab, blg, lattice_loop, soc_ineq)
+               bhz_afm, wsm_slab, blg, lattice_loop, soc_ineq,
+               twisted_blg, bhz_edge_afm, hm_multiband, hm_2bands_bethe,
+               hm_dos, nano_isoc_sq, hartree_nano)
 
 __all__ = ["hm_bethe", "hm_bethe_nbands", "hm_bethe_afm", "ahm_bethe",
            "bhz_2d", "soc", "kspace", "nano", "hm_square_lattice",
            "hm_slab", "ahm_disorder", "tblg", "ahm_square", "bhz_3d",
            "ahm_stripe", "haldane_sc", "kspace_afm", "material", "bhz_edge",
            "ehm_bethe", "ahm_2bands", "bhz_afm", "wsm_slab", "blg",
-           "lattice_loop", "soc_ineq"]
+           "lattice_loop", "soc_ineq", "twisted_blg", "bhz_edge_afm",
+           "hm_multiband", "hm_2bands_bethe", "hm_dos", "nano_isoc_sq",
+           "hartree_nano"]
