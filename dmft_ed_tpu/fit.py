@@ -465,9 +465,10 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
         tnorm += float(np.sum(np.abs(np.asarray(tnorm_an)
                                      * np.asarray(cmask)[..., None]) ** 2
                               / np.asarray(W)))
-    # restart when the residual is large relative to the target OR clearly
-    # above the exact-representability floor (recovery-grade fits)
-    if res.fun > min(1e-3 * max(tnorm, 1e-6), 1e-6):
+    # restart only when the residual is large RELATIVE to the target (same
+    # threshold convention as chi2_fitgf_sites' per-site fallback); the
+    # 1e-6 floor keeps near-zero targets from triggering on numerical dust
+    if res.fun > 1e-3 * max(tnorm, 1e-6):
         rng = np.random.default_rng(cfg.seed + 101)
         # Search: chained jittered restarts (any improvement moves the
         # search center). Commit: only if the BEST restart improves on the

@@ -92,8 +92,7 @@ def dos_bands(norb: int, dos_model: str = "bethe", wband=1.0, le: int = 500,
         le = min(d.shape[0] for d in data)
         eb = np.stack([d[:le, 0] for d in data])
         db = np.stack([d[:le, 1] for d in data])
-        de = np.gradient(eb, axis=1)
-        return eb, db * de, h0
+        return eb, db * _trapz_weights(eb), h0
     eb = np.zeros((norb, le))
     db = np.zeros((norb, le))
     for a in range(norb):
@@ -107,8 +106,20 @@ def dos_bands(norb: int, dos_model: str = "bethe", wband=1.0, le: int = 500,
         else:
             raise ValueError(f"dos_bands: unknown dos_model {dos_model!r}")
         eb[a] = e
-        db[a] = rho * (e[1] - e[0])
+        db[a] = rho * _trapz_weights(e[None, :])[0]
     return eb, db, h0
+
+
+def _trapz_weights(e: np.ndarray) -> np.ndarray:
+    """Trapezoid quadrature weights along the last axis: Σ w_i f(e_i) ==
+    trapz(f, e) — half-weight endpoints (a plain rectangle rule or
+    np.gradient double-weights DOS values at the band edges, biasing the
+    sum rule for DOS shapes that do not vanish there, e.g. 'flat')."""
+    w = np.empty_like(e)
+    w[..., 1:-1] = 0.5 * (e[..., 2:] - e[..., :-2])
+    w[..., 0] = 0.5 * (e[..., 1] - e[..., 0])
+    w[..., -1] = 0.5 * (e[..., -1] - e[..., -2])
+    return w
 
 
 # ----------------------------------------------------------------------

@@ -11,7 +11,7 @@ Hoppings: the exponential-decay Slater-Koster transfer integral of Nam &
 Koshino, PRB 96, 075311 (2017) —
     t(d) = Vpi(d) [1 - (d.ez/|d|)^2] + Vsi(d) (d.ez/|d|)^2,
     Vpi = Vpi0 exp(-(|d|-a0)/r0),  Vsi = Vsi0 exp(-(|d|-dz)/r0),
-distance-cutoff over the 3x3 neighboring supercells
+distance-cutoff over neighboring supercells (adaptive image range)
 (ed_twistedBLG.f90:191-264). DMFT treats the Nlat sites as inequivalent
 single-orbital impurities over the moiré-BZ k-sum Gloc, i.e. the
 LatticeEDSolver geometry with the cross-site batched sweep.
@@ -25,8 +25,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import EDConfig, read_input
-from ..lattice_solver import LatticeEDSolver
-from ..lattice import gloc_hk_lattice, self_consistency, ConvergenceMonitor
 
 
 def twist_angle(m0: int, r: int):
@@ -99,7 +97,17 @@ def hk_twisted_blg(nk: int = 4, alat: float = 2.46, m0: int = 1, r: int = 1,
                    vpi0: float = -2.7, vsi0: float = 0.48):
     """[Nlat, Nlat, nk^2] Bloch Hamiltonian over the moiré BZ
     (hk_twistedBLG_model, ed_twistedBLG.f90:191-264). hopping_cutoff and
-    r0 in units of alat (rescaled internally as in the driver)."""
+    r0 in units of alat (rescaled internally as in the driver).
+
+    DELIBERATE DEVIATIONS from the reference, both validated against the
+    exact real-space torus spectrum (tests/test_twisted_blg.py):
+    - the Bloch phase is e^{-i k.dist} with dist = U_i - U_j - R; the
+      reference's extra e^{+i k.R} factor (ed_twistedBLG.f90:250) is NOT
+      a gauge — it double-counts the supercell translation per image and
+      shifts the spectrum at every k != 0.
+    - same-site hops to neighboring images (i == j, R != 0) contribute to
+      the Bloch diagonal when hopping_cutoff reaches |RR1|; the reference
+      loops j = i+1.. only and silently drops them for any cutoff."""
     v = _vectors(alat, m0, r)
     ucell = build_unit_cell(alat, m0, r)
     nlat = v["nlat"]
@@ -107,35 +115,54 @@ def hk_twisted_blg(nk: int = 4, alat: float = 2.46, m0: int = 1, r: int = 1,
     a0 = alat / np.sqrt(3.0)
     r00 = r0 * alat
     cut = hopping_cutoff * alat
-    # 3x3 supercell images
-    cells = np.array([[ii, jj] for ii in (-1, 0, 1) for jj in (-1, 0, 1)])
-    RR = cells[:, :1] * v["rr1"] + cells[:, 1:] * v["rr2"]   # [9, 2]
-    RR3 = np.concatenate([RR, np.zeros((9, 1))], axis=1)
+    # supercell images: the reference fixes 3x3 (valid for its default
+    # cutoff); here the range adapts so every hop with |d| < cut is
+    # reachable — nimg such that nimg*Lmin > cut + cell diameter
+    diam = np.max(np.linalg.norm(
+        ucell[:, None, :2] - ucell[None, :, :2], axis=-1))
+    lmin = min(np.linalg.norm(v["rr1"]), np.linalg.norm(v["rr2"]),
+               np.linalg.norm(v["rr1"] + v["rr2"]),
+               np.linalg.norm(v["rr1"] - v["rr2"]))
+    nimg = max(1, int(np.ceil((cut + diam) / lmin)))
+    rng_i = range(-nimg, nimg + 1)
+    cells = np.array([[ii, jj] for ii in rng_i for jj in rng_i])
+    ncells = len(cells)
+    RR = cells[:, :1] * v["rr1"] + cells[:, 1:] * v["rr2"]   # [ncells, 2]
+    RR3 = np.concatenate([RR, np.zeros((ncells, 1))], axis=1)
     # dist[c, i, j, :] = U_i - (U_j + R_c)
     dist = ucell[None, :, None, :] - (ucell[None, None, :, :]
                                       + RR3[:, None, None, :])
     dd = np.linalg.norm(dist, axis=-1)
-    iu, ju = np.triu_indices(nlat, k=1)            # i < j pairs only
-    d_ij = dist[:, iu, ju]                          # [9, npair, 3]
-    dd_ij = dd[:, iu, ju]
-    cosz2 = (d_ij[..., 2] / np.where(dd_ij > 0, dd_ij, 1.0)) ** 2
-    vpi = vpi0 * np.exp(-(dd_ij - a0) / r00)
-    vsi = vsi0 * np.exp(-(dd_ij - dz) / r00)
-    t = np.where(dd_ij < cut, vpi * (1 - cosz2) + vsi * cosz2, 0.0)
+
+    def slater_koster(d, ddn):
+        cosz2 = (d[..., 2] / np.where(ddn > 0, ddn, 1.0)) ** 2
+        vpi = vpi0 * np.exp(-(ddn - a0) / r00)
+        vsi = vsi0 * np.exp(-(ddn - dz) / r00)
+        return np.where((ddn < cut) & (ddn > 0),
+                        vpi * (1 - cosz2) + vsi * cosz2, 0.0)
+
+    iu, ju = np.triu_indices(nlat, k=1)            # i < j pairs
+    d_ij = dist[:, iu, ju]                     # [ncells, npair, 3]
+    t = slater_koster(d_ij, dd[:, iu, ju])
     # k grid over the moiré BZ
     fr = np.linspace(0.0, 1.0, nk, endpoint=False)
     kpts = np.array([f1 * v["gg1"] + f2 * v["gg2"]
                      for f1 in fr for f2 in fr])   # [Nk, 2]
-    # phase e^{-i k.dist + i k.R} (ed_twistedBLG.f90:250)
-    kd = kpts @ d_ij[..., :2].reshape(-1, 2).T     # [Nk, 9*npair]
-    kR = kpts @ RR.T                               # [Nk, 9]
+    kd = kpts @ d_ij[..., :2].reshape(-1, 2).T  # [Nk, ncells*npair]
     npair = iu.size
-    phase = np.exp(-1j * kd.reshape(len(kpts), 9, npair)
-                   + 1j * kR[:, :, None])
+    phase = np.exp(-1j * kd.reshape(len(kpts), ncells, npair))
     upper = np.einsum("cp,kcp->kp", t, phase)      # [Nk, npair]
     hk = np.zeros((nlat, nlat, len(kpts)), dtype=complex)
     hk[iu, ju] = upper.T
     hk[ju, iu] = upper.conj().T
+    # diagonal: same-site hops to neighboring images (R != 0); the R and
+    # -R images pair into a real cosine sum
+    d_ii = -RR3                                     # U_i - U_i - R
+    t_ii = slater_koster(d_ii, np.linalg.norm(d_ii, axis=-1))  # [ncells]
+    if np.any(t_ii != 0.0):
+        ph_ii = np.exp(-1j * (kpts @ d_ii[:, :2].T))       # [Nk, ncells]
+        diag = ph_ii @ t_ii                                    # [Nk]
+        hk[np.arange(nlat), np.arange(nlat)] += diag[None, :]
     return hk
 
 
@@ -156,55 +183,27 @@ def run(cfg: EDConfig, m0: int = 1, r: int = 1, nk: int = 4,
         r0: float = 0.184, vpi0: float = -2.7, vsi0: float = 0.48,
         wmixing: float = 0.75, log=None) -> TwistedBLGResult:
     """Real-space DMFT over the Nlat moiré carbon sites
-    (ed_twistedBLG.f90:118-180: per-site bath, shared k-sum Gloc)."""
+    (ed_twistedBLG.f90:118-180: per-site bath, shared k-sum Gloc) —
+    delegates to the shared inequivalent-site loop (lattice_loop.run_sites),
+    which fits every spin component (the reference loops ispin=1..Nspin,
+    ed_twistedBLG.f90:163-166)."""
     cfg = cfg.validate()
     assert cfg.norb == 1, "twistedBLG: Norb=1 (ed_twistedBLG.f90:66)"
-    _log = log if log is not None else (print if cfg.ed_verbose > 0
-                                        else lambda *a, **k: None)
+    from .lattice_loop import run_sites
     hk = hk_twisted_blg(nk, alat, m0, r, hopping_cutoff, r0, vpi0, vsi0)
     nlat = hk.shape[0]
-    ns = cfg.nspin
-    hloc_so = hk.mean(axis=-1)
-    hloc_ineq = np.zeros((nlat, ns, ns, 1, 1))
-    for i in range(nlat):
-        for s in range(ns):
-            hloc_ineq[i, s, s, 0, 0] = hloc_so[i, i].real
-    if ns == 2:
+    if cfg.nspin == 2:
         nkk = hk.shape[-1]
         hks = np.zeros((2 * nlat, 2 * nlat, nkk), dtype=complex)
-        for i in range(nlat):
-            for j in range(nlat):
-                hks[2 * i, 2 * j] = hk[i, j]
-                hks[2 * i + 1, 2 * j + 1] = hk[i, j]
+        hks[0::2, 0::2] = hk
+        hks[1::2, 1::2] = hk
         hk = hks
-    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
-    baths = lsolver.init_solvers()
-    baths_prev = baths.copy()
-    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
-    converged, iloop = False, 0
-    gm_ineq = None
-    while not converged and iloop < cfg.nloop:
-        iloop += 1
-        _log(f"--- twistedBLG DMFT loop {iloop}/{cfg.nloop} "
-             f"({nlat} moiré sites) ---")
-        lsolver.solve(baths)
-        smats_ineq = lsolver.get_sigma_matsubara()
-        gm_ineq = gloc_hk_lattice(cfg, hk, smats_ineq, "mats")
-        weiss_ineq = np.stack([
-            self_consistency(cfg, gm_ineq[i], smats_ineq[i], hloc_ineq[i])
-            for i in range(nlat)])
-        baths = lsolver.chi2_fitgf(weiss_ineq, baths, ispin=0)
-        if iloop > 1:
-            baths = wmixing * baths + (1 - wmixing) * baths_prev
-        baths_prev = baths.copy()
-        converged = monitor.check(weiss_ineq[0, 0, 0, 0, 0], log=_log)
-    return TwistedBLGResult(converged=converged, iterations=iloop,
-                            baths=baths,
-                            smats_ineq=lsolver.get_sigma_matsubara(),
-                            gmats_ineq=gm_ineq,
-                            dens=lsolver.get_dens()[:, 0],
-                            docc=lsolver.get_docc()[:, 0],
-                            error=monitor.error)
+    r_ = run_sites(cfg, hk, wmixing=wmixing, log=log)
+    return TwistedBLGResult(converged=r_.converged, iterations=r_.iterations,
+                            baths=r_.baths, smats_ineq=r_.smats_ineq,
+                            gmats_ineq=r_.gmats_ineq,
+                            dens=r_.dens[:, 0], docc=r_.docc[:, 0],
+                            error=r_.error)
 
 
 def main(argv=None):

@@ -52,8 +52,13 @@ def test_dos_bands_file_roundtrip(tmp_path):
     np.savetxt(f, np.column_stack([e, rho]))
     eb, db, h0 = dos_bands(1, "file", dos_file=str(f))
     np.testing.assert_allclose(eb[0], e)
-    # weights carry the trapezoid measure: they sum to ~1
-    assert abs(db[0].sum() - 1.0) < 1e-2
+    # weights carry the exact trapezoid measure: Σ w·rho == trapz(rho, e)
+    np.testing.assert_allclose(db[0].sum(), np.trapezoid(rho, e), atol=1e-12)
+    # flat DOS nonzero at the band edges: the half-weight endpoints keep
+    # the sum rule exact (rectangle/gradient weights bias it by ~1/le)
+    np.testing.assert_allclose(db[0].sum(), 1.0, atol=1e-12)
+    ebu, dbu, _ = dos_bands(1, "flat", wband=1.5, le=400)
+    np.testing.assert_allclose(dbu[0].sum(), 1.0, atol=1e-12)
 
 
 def test_hm_dos_u0_exact(tmp_path, monkeypatch):
@@ -72,9 +77,9 @@ def test_hm_dos_u0_exact(tmp_path, monkeypatch):
     assert np.abs(r.smats).max() < 1e-8          # Sigma = 0 at U = 0
     z = 1j * np.pi / cfg.beta * (2 * np.arange(1, cfg.lmats + 1) - 1)
     e = np.linspace(-1, 1, 1000)
-    de = e[1] - e[0]
-    g_exact = ((flat_dos(e, 1.0) * de)[None, :]
-               / (z[:, None] - e[None, :])).sum(axis=1)
+    # independent trapezoid quadrature of \int de rho/(z - e)
+    g_exact = np.array([np.trapezoid(flat_dos(e, 1.0) / (zz - e), e)
+                        for zz in z])
     np.testing.assert_allclose(r.gmats[0, 0, 0, 0], g_exact, atol=1e-8)
 
 

@@ -53,6 +53,79 @@ def test_hk_monolayer_limit():
     assert np.abs(hk[np.ix_(l1, l2)]).max() == 0.0
 
 
+def test_hk_vs_realspace_torus():
+    """The union of Bloch spectra over the nk x nk grid equals the exact
+    real-space spectrum of the nk x nk supercell torus — validates the
+    e^{-ik.dist} phase convention. The reference's extra e^{+ik.R} factor
+    (ed_twistedBLG.f90:250) is NOT a gauge (it differs per image at fixed
+    (i, j)) and fails this identity by O(eV); we deliberately deviate."""
+    # cutoff 1.8 (not the default sqrt(3)): the sqrt(3)*alat value lands
+    # EXACTLY on a neighbor shell, where the strict `<` comparison is
+    # float-rounding-dependent between implementations
+    nk, m0, r, alat, cutoff = 2, 1, 1, 2.46, 1.8
+    hk = tb.hk_twisted_blg(nk=nk, m0=m0, r=r, hopping_cutoff=cutoff)
+    v = tb._vectors(alat, m0, r)
+    uc = tb.build_unit_cell(alat, m0, r)
+    RR1 = np.append(v["rr1"], 0.0)
+    RR2 = np.append(v["rr2"], 0.0)
+    pos = np.concatenate([uc + n1 * RR1 + n2 * RR2
+                          for n1 in range(nk) for n2 in range(nk)], axis=0)
+    N = pos.shape[0]
+    dz, a0, r00 = 3.345, alat / np.sqrt(3), 0.184 * alat
+    cut, vpi0, vsi0 = cutoff * alat, -2.7, 0.48
+    imgs = [m1 * nk * RR1 + m2 * nk * RR2
+            for m1 in (-1, 0, 1) for m2 in (-1, 0, 1)]
+    H = np.zeros((N, N))
+    for a in range(N):
+        for b in range(N):
+            if a == b:
+                continue
+            tsum = 0.0
+            for g in imgs:
+                d = pos[a] - pos[b] - g
+                dd = np.linalg.norm(d)
+                if 0 < dd < cut:
+                    cz2 = (d[2] / dd) ** 2
+                    tsum += (vpi0 * np.exp(-(dd - a0) / r00) * (1 - cz2)
+                             + vsi0 * np.exp(-(dd - dz) / r00) * cz2)
+            H[a, b] = tsum
+    ev_torus = np.sort(np.linalg.eigvalsh(H))
+    ev_bloch = np.sort(np.linalg.eigvalsh(hk.transpose(2, 0, 1)).ravel())
+    np.testing.assert_allclose(ev_bloch, ev_torus, atol=1e-8)
+
+
+def test_hk_diagonal_images_vs_torus():
+    """hopping_cutoff > |RR1|/alat: same-site hops to neighboring moiré
+    images land on the Bloch diagonal (dropped by the reference's
+    j = i+1.. loop). Validated against the exact nk=3 supercell torus."""
+    nk, m0, r, alat, cutoff = 3, 1, 1, 2.46, 2.7
+    hk = tb.hk_twisted_blg(nk=nk, m0=m0, r=r, hopping_cutoff=cutoff)
+    d0 = hk[np.arange(28), np.arange(28)]
+    assert np.abs(d0).max() > 1e-5   # images within cutoff (exp-decayed t)
+    np.testing.assert_allclose(hk, hk.conj().transpose(1, 0, 2), atol=1e-12)
+    v = tb._vectors(alat, m0, r)
+    uc = tb.build_unit_cell(alat, m0, r)
+    RR1 = np.append(v["rr1"], 0.0)
+    RR2 = np.append(v["rr2"], 0.0)
+    pos = np.concatenate([uc + n1 * RR1 + n2 * RR2
+                          for n1 in range(nk) for n2 in range(nk)], axis=0)
+    imgs = np.array([m1 * nk * RR1 + m2 * nk * RR2
+                     for m1 in (-1, 0, 1) for m2 in (-1, 0, 1)])
+    d = (pos[:, None, :] - pos[None, :, :])[None] - imgs[:, None, None, :]
+    dd = np.linalg.norm(d, axis=-1)
+    dz, a0, r00 = 3.345, alat / np.sqrt(3), 0.184 * alat
+    cz2 = (d[..., 2] / np.where(dd > 0, dd, 1.0)) ** 2
+    t = np.where((dd > 0) & (dd < cutoff * alat),
+                 -2.7 * np.exp(-(dd - a0) / r00) * (1 - cz2)
+                 + 0.48 * np.exp(-(dd - dz) / r00) * cz2, 0.0)
+    H = t.sum(axis=0)
+    # torus diagonal is exactly 0: the g=0 self-pair is masked by dd>0 and
+    # same-site image hops appear as OFF-diagonal elements between copies
+    ev_torus = np.sort(np.linalg.eigvalsh(H))
+    ev_bloch = np.sort(np.linalg.eigvalsh(hk.transpose(2, 0, 1)).ravel())
+    np.testing.assert_allclose(ev_bloch, ev_torus, atol=1e-8)
+
+
 @pytest.mark.slow
 def test_twisted_blg_dmft_smoke(tmp_path, monkeypatch):
     """28-site moiré DMFT loop (cross-site batched sweep): finite
