@@ -134,54 +134,27 @@ class TBLGResult:
 def run(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
         wmixing: float = 0.75, log=None) -> TBLGResult:
     """The ed_tBLG_wannier.f90 DMFT loop: 4 inequivalent Wannier impurities
-    over the moiré H(k) (Norb=1 per site, ed_tBLG_wannier.f90:78,126-157)."""
+    over the moiré H(k) (Norb=1 per site, ed_tBLG_wannier.f90:78,126-157)
+    — delegates to the shared inequivalent-site loop
+    (lattice_loop.run_sites), which fits every spin component."""
     cfg = cfg.validate()
     assert cfg.norb == 1, "tBLG driver: Norb=1 (ed_tBLG_wannier.f90:78)"
-    _log = log if log is not None else (print if cfg.ed_verbose > 0
-                                        else lambda *a, **k: None)
+    from .lattice_loop import run_sites
     hk = tblg_hk(idx, t, nk)
-    nlat, ns = 4, cfg.nspin
-    # graphHloc = k-mean; per-site 1x1 diagonal blocks duplicated per spin
-    hloc_so = hk.mean(axis=-1)
-    hloc_ineq = np.zeros((nlat, ns, ns, 1, 1), dtype=complex)
-    for i in range(nlat):
-        for s in range(ns):
-            hloc_ineq[i, s, s, 0, 0] = hloc_so[i, i].real
+    nlat = 4
     # spin-degenerate model: expand hk over spin if nspin == 2
-    if ns == 2:
+    if cfg.nspin == 2:
         nkk = hk.shape[-1]
         hks = np.zeros((8, 8, nkk), dtype=complex)
-        for i in range(nlat):
-            for j in range(nlat):
-                hks[2 * i, 2 * j] = hk[i, j]
-                hks[2 * i + 1, 2 * j + 1] = hk[i, j]
+        hks[0::2, 0::2] = hk
+        hks[1::2, 1::2] = hk
         hk = hks
-    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
-    baths = lsolver.init_solvers()
-    baths_prev = baths.copy()
-    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
-    converged, iloop = False, 0
-    gm_ineq = None
-    while not converged and iloop < cfg.nloop:
-        iloop += 1
-        _log(f"--- tBLG DMFT loop {iloop}/{cfg.nloop} (4 Wannier sites) ---")
-        lsolver.solve(baths)
-        smats_ineq = lsolver.get_sigma_matsubara()
-        gm_ineq = gloc_hk_lattice(cfg, hk, smats_ineq, "mats")
-        weiss_ineq = np.stack([
-            self_consistency(cfg, gm_ineq[i], smats_ineq[i], hloc_ineq[i])
-            for i in range(nlat)])
-        baths = lsolver.chi2_fitgf(weiss_ineq, baths, ispin=0)
-        if iloop > 1:
-            baths = wmixing * baths + (1 - wmixing) * baths_prev
-        baths_prev = baths.copy()
-        converged = monitor.check(weiss_ineq[0, 0, 0, 0, 0], log=_log)
-    return TBLGResult(converged=converged, iterations=iloop, baths=baths,
-                      smats_ineq=lsolver.get_sigma_matsubara(),
-                      gmats_ineq=gm_ineq,
-                      dens=lsolver.get_dens()[:, 0],
-                      docc=lsolver.get_docc()[:, 0],
-                      error=monitor.error)
+    r_ = run_sites(cfg, hk, wmixing=wmixing, log=log)
+    return TBLGResult(converged=r_.converged, iterations=r_.iterations,
+                      baths=r_.baths, smats_ineq=r_.smats_ineq,
+                      gmats_ineq=r_.gmats_ineq,
+                      dens=r_.dens[:, 0], docc=r_.docc[:, 0],
+                      error=r_.error)
 
 
 def run_2bands(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
@@ -191,47 +164,19 @@ def run_2bands(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
     the TWO Wannier orbitals (Norb=2, Nspin=1 —
     ed_tBLG_wannier_2bands.f90:59-62,97-112). The orbital off-diagonal
     hybridization h±(k)[1,2] then enters the per-valley matrix Weiss
-    update instead of being dropped between single-orbital sites."""
+    update instead of being dropped between single-orbital sites.
+    Delegates to lattice_loop.run_sites with nso=2 valley blocks."""
     cfg = cfg.validate()
     if cfg.norb != 2 or cfg.nspin != 1:
         raise ValueError("tBLG 2-bands driver: Norb=2, Nspin=1 "
                          "(ed_tBLG_wannier_2bands.f90:59)")
-    _log = log if log is not None else (print if cfg.ed_verbose > 0
-                                        else lambda *a, **k: None)
-    hk = tblg_hk(idx, t, nk)                       # [4, 4, Nk]
-    nlat = 2                                       # the two valleys
-    hloc_so = hk.mean(axis=-1)
-    hloc_so[np.abs(hloc_so) < 1e-12] = 0.0
-    hloc_ineq = np.zeros((nlat, 1, 1, 2, 2), dtype=complex)
-    for v in range(nlat):
-        hloc_ineq[v, 0, 0] = hloc_so[2 * v:2 * v + 2, 2 * v:2 * v + 2]
-    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=_log)
-    baths = lsolver.init_solvers()
-    baths_prev = baths.copy()
-    monitor = ConvergenceMonitor(cfg.dmft_error, cfg.nsuccess, cfg.nloop)
-    converged, iloop = False, 0
-    gm_ineq = None
-    while not converged and iloop < cfg.nloop:
-        iloop += 1
-        _log(f"--- tBLG DMFT loop {iloop}/{cfg.nloop} (2 valleys x 2 orb)"
-             " ---")
-        lsolver.solve(baths)
-        smats_ineq = lsolver.get_sigma_matsubara()
-        gm_ineq = gloc_hk_lattice(cfg, hk, smats_ineq, "mats")
-        weiss_ineq = np.stack([
-            self_consistency(cfg, gm_ineq[v], smats_ineq[v], hloc_ineq[v])
-            for v in range(nlat)])
-        baths = lsolver.chi2_fitgf(weiss_ineq, baths, ispin=0)
-        if iloop > 1:
-            baths = wmixing * baths + (1 - wmixing) * baths_prev
-        baths_prev = baths.copy()
-        converged = monitor.check(weiss_ineq[0, 0, 0, 0, 0], log=_log)
-    return TBLGResult(converged=converged, iterations=iloop, baths=baths,
-                      smats_ineq=lsolver.get_sigma_matsubara(),
-                      gmats_ineq=gm_ineq,
-                      dens=lsolver.get_dens(),
-                      docc=lsolver.get_docc(),
-                      error=monitor.error)
+    from .lattice_loop import run_sites
+    hk = tblg_hk(idx, t, nk)                       # [4, 4, Nk], 2 valleys
+    r_ = run_sites(cfg, hk, wmixing=wmixing, log=log)
+    return TBLGResult(converged=r_.converged, iterations=r_.iterations,
+                      baths=r_.baths, smats_ineq=r_.smats_ineq,
+                      gmats_ineq=r_.gmats_ineq,
+                      dens=r_.dens, docc=r_.docc, error=r_.error)
 
 
 def main(argv=None):
