@@ -36,15 +36,21 @@ class HamCache:
                  mesh=None):
         self.cfg, self.bath, self.hloc = cfg, bath, hloc
         self.mesh = mesh
+        self._ham: Dict[int, SectorHamiltonian] = {}
         self._op: Dict[int, tuple] = {}
         self._op_sharded: Dict[int, tuple] = {}
+
+    def ham(self, sector: Sector) -> SectorHamiltonian:
+        key = sector.index
+        if key not in self._ham:
+            self._ham[key] = build_sector_hamiltonian(self.cfg, sector,
+                                                      self.bath, self.hloc)
+        return self._ham[key]
 
     def op(self, sector: Sector):
         key = sector.index
         if key not in self._op:
-            ham = build_sector_hamiltonian(self.cfg, sector, self.bath,
-                                           self.hloc)
-            self._op[key] = make_matvec_op(ham, self.cfg)
+            self._op[key] = make_matvec_op(self.ham(sector), self.cfg)
         return self._op[key]
 
     def sharded(self, sector: Sector) -> bool:
@@ -59,10 +65,8 @@ class HamCache:
         key = sector.index
         if key not in self._op_sharded:
             from .parallel.hxv import sharded_sector_op
-            ham = build_sector_hamiltonian(self.cfg, sector, self.bath,
-                                           self.hloc)
-            self._op_sharded[key] = sharded_sector_op(ham, self.cfg,
-                                                      self.mesh)
+            self._op_sharded[key] = sharded_sector_op(self.ham(sector),
+                                                      self.cfg, self.mesh)
         return self._op_sharded[key]
 
 
@@ -202,13 +206,41 @@ class ResolventBatch:
                 continue
             spec, arrays, blocks = cache.op(jsec)
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
-            entries.append((site, spec, blocks, arrays, nlanc, joblist))
+            entries.append((site, spec, blocks, arrays, nlanc, joblist,
+                            cache, jsec))
         groups: Dict[tuple, list] = {}
         for e in entries:
             gkey = (e[1], e[2], e[4],
                     tuple((a.shape, str(a.dtype)) for a in e[3]))
             groups.setdefault(gkey, []).append(e)
-        for (spec, blocks, nlanc, _), ents in groups.items():
+        # ragged merge: paddable groups whose flat dims share a power-of-two
+        # class zero-embed into one bucket shape and run as ONE stacked scan
+        # (different-dimension sectors on the same group axis)
+        buckets: Dict[tuple, list] = {}
+        for gkey, ents in groups.items():
+            bkey = self._bucket_key(ents[0])
+            if bkey is not None:
+                buckets.setdefault(bkey, []).append(gkey)
+        consumed = set()
+        for bkey, gkeys in buckets.items():
+            if len(gkeys) < 2:
+                continue
+            ents = [e for gk in gkeys for e in groups[gk]]
+            ddw_pad = max(e[2][0][0] for e in ents)
+            dup_pad = max(e[2][0][1] for e in ents)
+            # aspect-ratio guard: in the small, dispatch-bound regime accept
+            # up to ~4x the dim class (merging transposed (a,b)/(b,a) target
+            # shapes); large sectors are compute-bound — require tight packing
+            pad = ddw_pad * dup_pad
+            if pad > 2 * bkey[-1] and not (pad <= 4 * bkey[-1]
+                                           and pad <= 16384):
+                continue
+            yield from self._run_ragged(ents, ddw_pad, dup_pad)
+            consumed.update(gkeys)
+        for gkey, ents in groups.items():
+            if gkey in consumed:
+                continue
+            spec, blocks, nlanc, _ = gkey
             # common channel-count bucket (next power of two) so jit keys
             # stay stable across states/channels with varying counts
             Bmax = max(len(e[5]) for e in ents)
@@ -230,6 +262,78 @@ class ResolventBatch:
                                                ns[si])
         self.jobs.clear()
         self.jsecs.clear()
+
+    def _bucket_key(self, e):
+        """Ragged-merge bucket of a paddable entry, or None.
+
+        Paddable: single block, no mix terms (every normal-mode sector).
+        Bucket: scalar dtype + the cfg fields that drive operator encoding
+        + the power-of-two class of the flat dimension — members are within
+        2x of each other, so zero-embedding to the in-bucket max shape
+        costs at most ~4x the smallest member (guarded again in run())."""
+        blocks, cache = e[2], e[6]
+        spec = e[1]
+        if len(blocks) != 1 or spec[4]:
+            return None
+        cfg = cache.cfg
+        dim = blocks[0][0] * blocks[0][1]
+        p2 = 1 << (max(dim, 1) - 1).bit_length()
+        return (spec[5], str(cfg.dtype), cfg.matmul_precision,
+                cfg.dense_matmul_threshold, p2)
+
+    def _run_ragged(self, ents, ddw_pad, dup_pad):
+        """ONE stacked Lanczos scan over sectors of UNEQUAL shape: each
+        member operator zero-embeds into the bucket block (ddw_pad,
+        dup_pad) via hamiltonian.make_padded_matvec_op — exact, since the
+        padded components of H and of the start vectors are identically
+        zero, the Krylov chain never leaves the embedded subspace and the
+        (alpha, beta) coefficients match the unpadded recurrence. All four
+        (nup±1, ndw)/(nup, ndw∓1) GF target sectors of a state thus share
+        one compile key and one device dispatch, where the reference runs
+        a serial chain per channel (ED_GF_NORMAL.f90:580-632)."""
+        from .hamiltonian import make_padded_matvec_op
+        from .lanczos import lanczos_tridiag_op_stacked
+        nnz_up = max(e[6].ham(e[7]).hup[0].rows.size for e in ents)
+        nnz_dw = max(e[6].ham(e[7]).hdw[0].rows.size for e in ents)
+        nlanc = max(e[4] for e in ents)
+        spec_p = blocks_p = None
+        ops = []
+        for e in ents:
+            sp, ar, bl = make_padded_matvec_op(e[6].ham(e[7]), e[6].cfg,
+                                               ddw_pad, dup_pad,
+                                               nnz_up, nnz_dw)
+            if spec_p is None:
+                spec_p, blocks_p = sp, bl
+            else:
+                assert sp == spec_p, "bucket key must force a common spec"
+            ops.append(ar)
+        Bpad = 1 << (max(len(e[5]) for e in ents) - 1).bit_length()
+        # complex excitation vectors (chi combined channels) against a real
+        # operator promote the whole stack, exactly as np.stack does on the
+        # equal-shape path
+        vdt = np.result_type(np.dtype(spec_p[5]),
+                             *(j[0].dtype for e in ents for j in e[5]))
+        V0 = np.zeros((len(ents), Bpad, ddw_pad * dup_pad), dtype=vdt)
+        for si, e in enumerate(ents):
+            ddw, dup = e[2][0]
+            for b in range(Bpad):
+                j = e[5][min(b, len(e[5]) - 1)]
+                V0[si, b].reshape(ddw_pad, dup_pad)[:ddw, :dup] = \
+                    j[0].reshape(ddw, dup)
+        arrays_stacked = tuple(jnp.stack([op[i] for op in ops])
+                               for i in range(len(ops[0])))
+        al, be, ns = lanczos_tridiag_op_stacked(spec_p, blocks_p,
+                                                arrays_stacked,
+                                                jnp.asarray(V0), nlanc)
+        al, be, ns = np.asarray(al), np.asarray(be), np.asarray(ns)
+        for si, e in enumerate(ents):
+            # clamp to the member's OWN chain length: the first k Lanczos
+            # coefficients don't depend on later steps, so this reproduces
+            # the per-sector run exactly (finite-precision Lanczos does not
+            # reliably break down at dim, so the shared longer scan would
+            # otherwise add spurious duplicate Ritz values)
+            yield from self._weights_poles(e[0], e[5], al[si], be[si],
+                                           np.minimum(ns[si], e[4]))
 
     def _run_sharded(self, site, cache, jsec, joblist):
         """Row-sharded batched tridiagonalization of one big target sector:

@@ -769,3 +769,83 @@ def _applier(spec):
 def apply_op(spec, arrays, V):
     """H·V in the spec/arrays form (wrap in jit with spec static)."""
     return _applier(spec)(arrays, V)
+
+
+def make_padded_matvec_op(ham: SectorHamiltonian, cfg: EDConfig,
+                          ddw_pad: int, dup_pad: int,
+                          nnz_up: int = 0, nnz_dw: int = 0):
+    """Zero-embed a single-block sector operator into a (ddw_pad, dup_pad)
+    block so *different-shape* sectors share one spec (compile key) and
+    stack on the `lanczos_tridiag_op_stacked` group axis.
+
+    Exactness: the padded rows/columns of H and of the start vector are
+    identically zero, so every Krylov vector stays in the embedded
+    subspace and the Lanczos (alpha, beta) coefficients are bit-identical
+    to the unpadded recurrence. The reference runs each of these
+    different-dimension target sectors as a separate serial Lanczos chain
+    (ED_GF_NORMAL.f90:580-632 per channel); here they become one batched
+    device scan (gf_common.ResolventBatch ragged buckets).
+
+    The encoding decision (dense / ozaki-sliced / COO) is made from the
+    PADDED shape with the same rules as `make_matvec_op`, so every member
+    of a bucket produces the same spec; COO nonzeros pad to (nnz_up,
+    nnz_dw) with zero-valued entries at (0, 0).
+    """
+    sec = ham.sector
+    if len(sec.blocks) != 1 or ham.mix:
+        raise ValueError("padded op requires a single block and no mix terms")
+    blk = sec.blocks[0]
+    rdtype = jnp.dtype(cfg.dtype)
+    cdtype = jnp.dtype(jnp.complex128 if rdtype == jnp.float64
+                       else jnp.complex64)
+    is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
+    vdtype = cdtype if is_cplx else rdtype
+    thr = cfg.dense_matmul_threshold
+    ozaki_n = ozaki_b = 0
+    if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
+            and rdtype == jnp.float64:
+        from . import ozaki as _oz
+        ozaki_n, ozaki_b = _oz.parse_precision(cfg.matmul_precision)
+
+    arrays = []
+
+    def push(*arrs):
+        i0 = len(arrays)
+        arrays.extend(arrs)
+        return tuple(range(i0, len(arrays)))
+
+    def enc_pad(coo: SpinCOO, side: str, n_pad: int, nnz_pad: int):
+        n, m = coo.shape
+        if n_pad <= thr:
+            dense = np.zeros((n_pad, n_pad),
+                             dtype=complex if is_cplx else float)
+            dense[:n, :m] = coo.to_dense()
+            if ozaki_n:
+                from . import ozaki as _oz
+                if side == "left":
+                    op = _oz.SlicedMatrix(dense, ozaki_n, ozaki_b)
+                else:
+                    op = _oz.SlicedRightOperand(dense.T, ozaki_n, ozaki_b)
+                idx = push(op.digits, op.scales)
+                return ("oz" + side[0], ozaki_n, ozaki_b) + idx
+            idx = push(jnp.asarray(dense, dtype=vdtype))
+            return ("dense",) + idx
+        if nnz_pad == 0:
+            return ("none",)
+        rows = np.zeros(nnz_pad, dtype=np.int32)
+        cols = np.zeros(nnz_pad, dtype=np.int32)
+        vals = np.zeros(nnz_pad, dtype=complex if is_cplx else float)
+        k = coo.rows.size
+        rows[:k], cols[:k], vals[:k] = coo.rows, coo.cols, coo.vals
+        idx = push(jnp.asarray(rows), jnp.asarray(cols),
+                   jnp.asarray(vals, dtype=vdtype))
+        return ("coo",) + idx
+
+    diag = np.zeros((ddw_pad, dup_pad))
+    diag[:blk.ddw, :blk.dup] = ham.diag[0]
+    diag_idx = push(jnp.asarray(diag, dtype=rdtype))[0]
+    hup_spec = enc_pad(ham.hup[0], "right", dup_pad, nnz_up)
+    hdw_spec = enc_pad(ham.hdw[0], "left", ddw_pad, nnz_dw)
+    blocks = ((ddw_pad, dup_pad),)
+    spec = (blocks, (diag_idx,), (hup_spec,), (hdw_spec,), (), str(vdtype))
+    return spec, tuple(arrays), blocks
