@@ -82,7 +82,19 @@ def _solve_sector_dense(ham, neigen: int):
     return evals[:neigen], jnp.asarray(evecs[:, :neigen].T)
 
 
-def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None):
+def _draw_v0(cfg: EDConfig, cplx: bool, dim: int, rng):
+    """Normalized random Krylov start vector (one rng draw per sector, in
+    sweep order, so serial and ragged-batched sweeps see the same stream)."""
+    v0 = rng.normal(size=dim)
+    if cplx:
+        v0 = v0 + 1j * rng.normal(size=dim)
+    v0 = jnp.asarray(v0, dtype=jnp.complex128 if cplx
+                     else jnp.dtype(cfg.dtype))
+    return v0 / jnp.linalg.norm(v0)
+
+
+def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
+                          v0=None):
     sec = ham.sector
     if mesh is not None and mesh.shape.get("rows", 1) > 1 \
             and sec.dim >= cfg.shard_dim_threshold:
@@ -93,12 +105,8 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None):
         return solve_sector_sharded(cfg, ham, neigen, rng, mesh)
     spec, arrays, blocks = make_matvec_op(ham, cfg)
     cplx = spec[-1].startswith("complex")
-    v0 = rng.normal(size=sec.dim)
-    if cplx:
-        v0 = v0 + 1j * rng.normal(size=sec.dim)
-    v0 = jnp.asarray(v0, dtype=jnp.complex128 if cplx
-                     else jnp.dtype(cfg.dtype))
-    v0 = v0 / jnp.linalg.norm(v0)
+    if v0 is None:
+        v0 = _draw_v0(cfg, cplx, sec.dim, rng)
     if cfg.lanc_method.lower() == "lanczos":
         # plain-Lanczos T=0 path (lanc_method='lanczos'): two-pass ground
         # state — tridiagonalize once, then replay the recurrence with the
@@ -119,6 +127,76 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None):
                                       maxiter=min(sec.dim, cfg.lanc_niter),
                                       tol=cfg.lanc_tolerance)
     return np.asarray(evals), evecs
+
+
+def _solve_deferred_ragged(cfg: EDConfig, tasks, results, rng):
+    """Solve deferred single-block ARPACK-path sector tasks, batching
+    sectors whose flat dims share a power-of-two class into ONE stacked
+    thick-restart over zero-embedded operators
+    (hamiltonian.make_padded_matvec_op + lanczos.eigs_lanczos_op_stacked).
+
+    Exact: a Krylov chain started from a zero-padded vector never leaves
+    the embedded subspace, so the Ritz spectrum is the original sector's;
+    per-member convergence and exact-subspace breakdown (a member whose
+    true dim < shared ncv) are finalized/frozen individually by the
+    stacked restart logic. The reference solves these sectors serially
+    per MPI rank (ED_DIAG.f90:104-161); here the sweep becomes a device
+    batch axis, collapsing per-sector dispatches and compile keys.
+
+    tasks: list of (sector, ham, neigen, v0); results[sec.index] is
+    filled with (evals, evecs)."""
+    from .hamiltonian import make_padded_matvec_op
+    from .lanczos import eigs_lanczos_op_stacked
+    buckets = {}
+    for t in tasks:
+        p2 = 1 << (t[0].dim - 1).bit_length()
+        cplx = np.issubdtype(t[1].dtype, np.complexfloating)
+        buckets.setdefault((cplx, p2), []).append(t)
+    for (cplx, p2), ts in sorted(buckets.items(),
+                                 key=lambda kv: (kv[0][1], kv[0][0])):
+        ddw_pad = max(t[0].blocks[0].ddw for t in ts)
+        dup_pad = max(t[0].blocks[0].dup for t in ts)
+        if len(ts) < 2 or ddw_pad * dup_pad > 2 * p2:
+            # singleton or pathological aspect-ratio mix: plain per-sector
+            for sec, ham, neigen, v0 in ts:
+                results[sec.index] = _solve_sector_lanczos(cfg, ham, neigen,
+                                                           rng, v0=v0)
+            continue
+        nnz_up = max(t[1].hup[0].rows.size for t in ts)
+        nnz_dw = max(t[1].hdw[0].rows.size for t in ts)
+        spec_p = blocks_p = None
+        ops = []
+        V0 = np.zeros((len(ts), ddw_pad * dup_pad),
+                      dtype=np.complex128 if cplx else np.dtype(cfg.dtype))
+        for s, (sec, ham, neigen, v0) in enumerate(ts):
+            sp, ar, bl = make_padded_matvec_op(ham, cfg, ddw_pad, dup_pad,
+                                               nnz_up, nnz_dw)
+            if spec_p is None:
+                spec_p, blocks_p = sp, bl
+            else:
+                assert sp == spec_p, "bucket key must force a common spec"
+            ops.append(ar)
+            blk = sec.blocks[0]
+            V0[s].reshape(ddw_pad, dup_pad)[:blk.ddw, :blk.dup] = \
+                np.asarray(v0).reshape(blk.ddw, blk.dup)
+        arrays_stacked = tuple(jnp.stack([op[i] for op in ops])
+                               for i in range(len(ops[0])))
+        k = max(t[2] for t in ts)
+        ncv = max(min(t[0].dim, cfg.lanc_ncv_factor
+                      * max(t[2], cfg.lanc_nstates_sector)
+                      + cfg.lanc_ncv_add) for t in ts)
+        maxiter = max(min(t[0].dim, cfg.lanc_niter) for t in ts)
+        evals_b, evecs_b, _ = eigs_lanczos_op_stacked(
+            spec_p, blocks_p, arrays_stacked, jnp.asarray(V0), k, ncv,
+            maxiter=maxiter, tol=cfg.lanc_tolerance)
+        for s, (sec, ham, neigen, v0) in enumerate(ts):
+            blk = sec.blocks[0]
+            ev = np.asarray(evals_b[s])
+            kk = min(neigen, int(np.sum(np.isfinite(ev))),
+                     evecs_b[s].shape[0])
+            vec = np.asarray(evecs_b[s])[:kk].reshape(-1, ddw_pad, dup_pad)
+            vec = vec[:, :blk.ddw, :blk.dup].reshape(kk, sec.dim)
+            results[sec.index] = (ev[:kk], jnp.asarray(vec))
 
 
 def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
@@ -147,7 +225,7 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
     oldzero = 1000.0
     rng = np.random.default_rng(cfg.seed + 7)
     t0 = time.time()
-    it = 0
+    sweep = []
     for sec in table.sectors:
         if not (smask[sec.index] and tmask[sec.index]) or sec.dim == 0:
             continue
@@ -155,7 +233,6 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         if cfg.jz_basis and cfg.jz_max and \
                 abs(sec.qn[2]) > int(2 * cfg.jz_max_value):
             continue
-        it += 1
         tflag = cfg.ed_twin and tmask[sec.index]
         if cfg.ed_mode == "normal":
             tflag = tflag and (sec.qn[1] != sec.qn[2])
@@ -163,15 +240,41 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
             tflag = tflag and (sec.qn[1] != 0)
         else:
             tflag = tflag and (sec.qn[1] != cfg.ns)
+        sweep.append((sec, tflag,
+                      min(sec.dim, state.neigen_sector[sec.index])))
 
-        neigen = min(sec.dim, state.neigen_sector[sec.index])
+    # ---- solve phase: dense/sharded/plain-lanczos sectors solve in sweep
+    # order; unsharded ARPACK-path single-block sectors defer so sectors of
+    # the same size class batch as ONE stacked thick-restart over
+    # zero-embedded operators (_solve_deferred_ragged) — the device-batch
+    # analogue of the reference's per-rank serial sector loop
+    # (ED_DIAG.f90:104-161)
+    results = {}
+    deferred = []
+    for sec, tflag, neigen in sweep:
         lanc_solve = (neigen < sec.dim) and (sec.dim > cfg.lanc_dim_threshold)
         ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
-        if lanc_solve:
-            evals, evecs = _solve_sector_lanczos(cfg, ham, neigen, rng, mesh)
-        else:
+        if not lanc_solve:
             evals, evecs = _solve_sector_dense(ham, neigen)
-            evals, evecs = evals[:neigen], evecs[:neigen]
+            results[sec.index] = (evals[:neigen], evecs[:neigen])
+            continue
+        sharded = mesh is not None and mesh.shape.get("rows", 1) > 1 \
+            and sec.dim >= cfg.shard_dim_threshold
+        batchable = (len(sec.blocks) == 1 and not ham.mix and not sharded
+                     and cfg.lanc_method.lower() != "lanczos")
+        if not batchable:
+            results[sec.index] = _solve_sector_lanczos(cfg, ham, neigen,
+                                                       rng, mesh)
+            continue
+        cplx = np.issubdtype(ham.dtype, np.complexfloating)
+        deferred.append((sec, ham, neigen,
+                         _draw_v0(cfg, cplx, sec.dim, rng)))
+    _solve_deferred_ragged(cfg, deferred, results, rng)
+
+    it = 0
+    for sec, tflag, neigen in sweep:
+        it += 1
+        evals, evecs = results[sec.index]
         if log and cfg.ed_verbose >= 3:
             log(f" {it:4d}-Solving sector {sec.index:4d} "
                 f"{sector_label(sec)} dim={sec.dim} neigen={neigen}")

@@ -89,3 +89,37 @@ def test_ragged_offdiag_hybrid_matches_serial(monkeypatch):
         Gm0, Gr0, _ = _gf_with_spy(cfg, bath, hloc, False, m, disable=True)
     np.testing.assert_allclose(Gm1, Gm0, rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(Gr1, Gr0, rtol=2e-3, atol=1e-6)
+
+
+def test_ragged_sector_sweep_vs_dense(monkeypatch):
+    """Sector sweep with a low Lanczos threshold: the deferred ARPACK-path
+    sectors of one size class must solve as ONE stacked thick-restart
+    (diag._solve_deferred_ragged) and reproduce the all-dense sweep's kept
+    spectrum."""
+    from dmft_ed_tpu import lanczos as lz
+
+    cfg = _cfg(nbath=5, lanc_dim_threshold=150, lanc_nstates_sector=2)
+    bath = _bath(cfg, seed=3)
+    hloc = np.zeros((2, 2, 1, 1))
+
+    calls = {"stacked": 0}
+    orig = lz.eigs_lanczos_op_stacked
+
+    def spy(*a, **kw):
+        calls["stacked"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(lz, "eigs_lanczos_op_stacked", spy)
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
+    assert calls["stacked"] > 0, "stacked ragged sweep path never taken"
+
+    cfg_d = cfg.replace(lanc_dim_threshold=10 ** 9)
+    slist_d, zeta_d, _ = diagonalize(cfg_d, bath, hloc, None)
+
+    e1 = sorted(s.energy for s in slist)
+    e0 = sorted(s.energy for s in slist_d)
+    assert len(e1) == len(e0)
+    np.testing.assert_allclose(e1, e0, rtol=0, atol=5e-9)
+    sec1 = sorted(s.sector.qn for s in slist)
+    sec0 = sorted(s.sector.qn for s in slist_d)
+    assert sec1 == sec0
