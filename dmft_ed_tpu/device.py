@@ -60,6 +60,30 @@ def krylov_device():
     return None
 
 
+def ragged_batching(total_elems: int) -> bool:
+    """Whether ragged (zero-embedded) Krylov batching should run for a
+    bucket whose stacked padded problem holds `total_elems` vector
+    elements.
+
+    Batching collapses per-sector dispatches and compile keys — a win
+    when every dispatch crosses the accelerator tunnel (20-40 ms each),
+    a LOSS on the host backend where the lockstep stacked restart makes
+    fast members wait for the slowest (measured 4.5x slower on the CPU
+    ns=9 sweep). auto: only when the batched scan actually lands on an
+    accelerator (accelerator default backend, or hybrid placement with
+    the stack above the offload threshold). Override with
+    DMFT_ED_RAGGED=1|0."""
+    choice = os.environ.get("DMFT_ED_RAGGED", "auto").lower()
+    if choice in ("1", "on", "always"):
+        return True
+    if choice in ("0", "off", "never"):
+        return False
+    if jax.default_backend() in ("tpu", "axon", "gpu"):
+        return True
+    dev = krylov_device()
+    return dev is not None and total_elems >= _MIN_DIM
+
+
 def _holds(dev, dtype) -> bool:
     if dev.platform in _NO_C128 and jnp.dtype(dtype) == jnp.complex128:
         return False

@@ -154,10 +154,13 @@ def _solve_deferred_ragged(cfg: EDConfig, tasks, results, rng):
         buckets.setdefault((cplx, p2), []).append(t)
     for (cplx, p2), ts in sorted(buckets.items(),
                                  key=lambda kv: (kv[0][1], kv[0][0])):
+        from .device import ragged_batching
         ddw_pad = max(t[0].blocks[0].ddw for t in ts)
         dup_pad = max(t[0].blocks[0].dup for t in ts)
-        if len(ts) < 2 or ddw_pad * dup_pad > 2 * p2:
-            # singleton or pathological aspect-ratio mix: plain per-sector
+        if len(ts) < 2 or ddw_pad * dup_pad > 2 * p2 \
+                or not ragged_batching(len(ts) * ddw_pad * dup_pad):
+            # singleton, pathological aspect-ratio mix, or host-bound
+            # Krylov (lockstep batching loses there): plain per-sector
             for sec, ham, neigen, v0 in ts:
                 results[sec.index] = _solve_sector_lanczos(cfg, ham, neigen,
                                                            rng, v0=v0)

@@ -235,6 +235,9 @@ class ResolventBatch:
             if pad > 2 * bkey[-1] and not (pad <= 4 * bkey[-1]
                                            and pad <= 16384):
                 continue
+            from .device import ragged_batching
+            if not ragged_batching(pad * sum(len(e[5]) for e in ents)):
+                continue  # host-bound Krylov: padding buys nothing there
             yield from self._run_ragged(ents, ddw_pad, dup_pad)
             consumed.update(gkeys)
         for gkey, ents in groups.items():

@@ -32,6 +32,7 @@ def _bath(cfg, seed=7):
 
 def _gf_with_spy(cfg, bath, hloc, finite_t, monkeypatch, disable=False):
     calls = {"ragged": 0}
+    monkeypatch.setenv("DMFT_ED_RAGGED", "1")  # tests run host-only
     if disable:
         monkeypatch.setattr(gf_common.ResolventBatch, "_bucket_key",
                             lambda self, e: None)
@@ -98,6 +99,7 @@ def test_ragged_sector_sweep_vs_dense(monkeypatch):
     spectrum."""
     from dmft_ed_tpu import lanczos as lz
 
+    monkeypatch.setenv("DMFT_ED_RAGGED", "1")  # tests run host-only
     cfg = _cfg(nbath=5, lanc_dim_threshold=150, lanc_nstates_sector=2)
     bath = _bath(cfg, seed=3)
     hloc = np.zeros((2, 2, 1, 1))
