@@ -60,10 +60,10 @@ def krylov_device():
     return None
 
 
-def ragged_batching(total_elems: int) -> bool:
+def ragged_batching(total_elems: int, dtype=None) -> bool:
     """Whether ragged (zero-embedded) Krylov batching should run for a
     bucket whose stacked padded problem holds `total_elems` vector
-    elements.
+    elements of scalar type `dtype` (None = assumed placeable).
 
     Batching collapses per-sector dispatches and compile keys — a win
     when every dispatch crosses the accelerator tunnel (20-40 ms each),
@@ -71,8 +71,9 @@ def ragged_batching(total_elems: int) -> bool:
     fast members wait for the slowest (measured 4.5x slower on the CPU
     ns=9 sweep). auto: only when the batched scan actually lands on an
     accelerator (accelerator default backend, or hybrid placement with
-    the stack above the offload threshold). Override with
-    DMFT_ED_RAGGED=1|0."""
+    the stack above the offload threshold AND a dtype the accelerator
+    can hold — complex128 stacks stay host-side, where lockstep loses).
+    Override with DMFT_ED_RAGGED=1|0."""
     choice = os.environ.get("DMFT_ED_RAGGED", "auto").lower()
     if choice in ("1", "on", "always"):
         return True
@@ -81,7 +82,9 @@ def ragged_batching(total_elems: int) -> bool:
     if jax.default_backend() in ("tpu", "axon", "gpu"):
         return True
     dev = krylov_device()
-    return dev is not None and total_elems >= _MIN_DIM
+    if dev is None or total_elems < _MIN_DIM:
+        return False
+    return dtype is None or _holds(dev, dtype)
 
 
 def _holds(dev, dtype) -> bool:

@@ -157,8 +157,10 @@ def _solve_deferred_ragged(cfg: EDConfig, tasks, results, rng):
         from .device import ragged_batching
         ddw_pad = max(t[0].blocks[0].ddw for t in ts)
         dup_pad = max(t[0].blocks[0].dup for t in ts)
+        vdt = np.result_type(np.dtype(cfg.dtype),
+                             np.complex64 if cplx else np.float32)
         if len(ts) < 2 or ddw_pad * dup_pad > 2 * p2 \
-                or not ragged_batching(len(ts) * ddw_pad * dup_pad):
+                or not ragged_batching(len(ts) * ddw_pad * dup_pad, vdt):
             # singleton, pathological aspect-ratio mix, or host-bound
             # Krylov (lockstep batching loses there): plain per-sector
             for sec, ham, neigen, v0 in ts:
@@ -246,41 +248,74 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         sweep.append((sec, tflag,
                       min(sec.dim, state.neigen_sector[sec.index])))
 
-    # ---- solve phase: dense/sharded/plain-lanczos sectors solve in sweep
-    # order; unsharded ARPACK-path single-block sectors defer so sectors of
-    # the same size class batch as ONE stacked thick-restart over
-    # zero-embedded operators (_solve_deferred_ragged) — the device-batch
-    # analogue of the reference's per-rank serial sector loop
-    # (ED_DIAG.f90:104-161)
-    results = {}
-    deferred = []
-    for sec, tflag, neigen in sweep:
+    # ---- route plan (structural — no per-sector H build): dense / serial-
+    # Krylov sectors stream one at a time; unsharded ARPACK-path single-
+    # block sectors whose dims share a power-of-two class batch as ONE
+    # stacked thick-restart over zero-embedded operators
+    # (_solve_deferred_ragged) — the device-batch analogue of the
+    # reference's per-rank serial sector loop (ED_DIAG.f90:104-161).
+    # Whether any sector carries mix terms (and the scalar dtype) is a
+    # property of (cfg, bath, hloc) via single_particle_parts, so the plan
+    # needs no Hamiltonians.
+    from .hamiltonian import single_particle_parts
+    Tuu_s, _, Tud_s, P_s = single_particle_parts(cfg, bath, hloc)
+    struct_mix = bool(np.any(Tud_s)) or bool(np.any(P_s))
+    struct_cplx = np.issubdtype(
+        np.result_type(Tuu_s.dtype,
+                       np.complex128 if np.any(Tud_s) else np.float64),
+        np.complexfloating)
+    plain = cfg.lanc_method.lower() == "lanczos"
+    buckets: dict = {}
+    routes = []
+    for pos, (sec, tflag, neigen) in enumerate(sweep):
         lanc_solve = (neigen < sec.dim) and (sec.dim > cfg.lanc_dim_threshold)
-        ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
-        if not lanc_solve:
-            evals, evecs = _solve_sector_dense(ham, neigen)
-            results[sec.index] = (evals[:neigen], evecs[:neigen])
-            continue
         sharded = mesh is not None and mesh.shape.get("rows", 1) > 1 \
             and sec.dim >= cfg.shard_dim_threshold
-        batchable = (len(sec.blocks) == 1 and not ham.mix and not sharded
-                     and cfg.lanc_method.lower() != "lanczos")
-        if not batchable:
-            results[sec.index] = _solve_sector_lanczos(cfg, ham, neigen,
-                                                       rng, mesh)
-            continue
-        cplx = np.issubdtype(ham.dtype, np.complexfloating)
-        deferred.append((sec, ham, neigen,
-                         _draw_v0(cfg, cplx, sec.dim, rng)))
-    _solve_deferred_ragged(cfg, deferred, results, rng)
+        if lanc_solve and len(sec.blocks) == 1 and not struct_mix \
+                and not sharded and not plain:
+            key = (struct_cplx, 1 << (sec.dim - 1).bit_length())
+            routes.append(key)
+            buckets.setdefault(key, []).append(pos)
+        else:
+            routes.append(None)
 
+    # ---- sweep: solve + bookkeeping stream per sector (memory stays
+    # bounded by one size-class bucket plus the kept state list, like the
+    # reference's serial loop); a bucket solves in one stacked restart when
+    # its first member is reached, and its results are released as consumed
+    pending = {}
     it = 0
-    for sec, tflag, neigen in sweep:
+    for pos, (sec, tflag, neigen) in enumerate(sweep):
         it += 1
-        evals, evecs = results[sec.index]
         if log and cfg.ed_verbose >= 3:
             log(f" {it:4d}-Solving sector {sec.index:4d} "
                 f"{sector_label(sec)} dim={sec.dim} neigen={neigen}")
+        if routes[pos] is None:
+            lanc_solve = (neigen < sec.dim) \
+                and (sec.dim > cfg.lanc_dim_threshold)
+            ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+            if lanc_solve:
+                evals, evecs = _solve_sector_lanczos(cfg, ham, neigen,
+                                                     rng, mesh)
+            else:
+                evals, evecs = _solve_sector_dense(ham, neigen)
+                evals, evecs = evals[:neigen], evecs[:neigen]
+            del ham
+        else:
+            if pos not in pending:
+                tasks = []
+                for p in buckets[routes[pos]]:
+                    s2, _, n2 = sweep[p]
+                    ham2 = build_sector_hamiltonian(cfg, s2, bath, hloc)
+                    cplx2 = np.issubdtype(ham2.dtype, np.complexfloating)
+                    tasks.append((s2, ham2, n2,
+                                  _draw_v0(cfg, cplx2, s2.dim, rng)))
+                res = {}
+                _solve_deferred_ragged(cfg, tasks, res, rng)
+                del tasks
+                for p in buckets[routes[pos]]:
+                    pending[p] = res[sweep[p][0].index]
+            evals, evecs = pending.pop(pos)
         # eigenvalues_list file (ED_DIAG.f90:238-243, appended per sector)
         try:
             with open(f"eigenvalues_list{suffix}.ed", "a") as fh:

@@ -236,7 +236,9 @@ class ResolventBatch:
                                            and pad <= 16384):
                 continue
             from .device import ragged_batching
-            if not ragged_batching(pad * sum(len(e[5]) for e in ents)):
+            vdt = np.result_type(np.dtype(ents[0][1][5]),
+                                 *(j[0].dtype for e in ents for j in e[5]))
+            if not ragged_batching(pad * sum(len(e[5]) for e in ents), vdt):
                 continue  # host-bound Krylov: padding buys nothing there
             yield from self._run_ragged(ents, ddw_pad, dup_pad)
             consumed.update(gkeys)
@@ -295,21 +297,27 @@ class ResolventBatch:
         one compile key and one device dispatch, where the reference runs
         a serial chain per channel (ED_GF_NORMAL.f90:580-632)."""
         from .hamiltonian import make_padded_matvec_op
-        from .lanczos import lanczos_tridiag_op_stacked
         nnz_up = max(e[6].ham(e[7]).hup[0].rows.size for e in ents)
         nnz_dw = max(e[6].ham(e[7]).hdw[0].rows.size for e in ents)
-        nlanc = max(e[4] for e in ents)
-        spec_p = blocks_p = None
-        ops = []
+        # the bucket key makes padded specs agree for same-cfg members, but
+        # heterogeneous per-site cfgs can still diverge after padding (e.g.
+        # n_pad crossing one site's dense_matmul_threshold): sub-group by
+        # the actual padded spec instead of asserting, so mismatched
+        # members just run as their own (possibly singleton) stack
+        subgroups: Dict[tuple, list] = {}
         for e in ents:
             sp, ar, bl = make_padded_matvec_op(e[6].ham(e[7]), e[6].cfg,
                                                ddw_pad, dup_pad,
                                                nnz_up, nnz_dw)
-            if spec_p is None:
-                spec_p, blocks_p = sp, bl
-            else:
-                assert sp == spec_p, "bucket key must force a common spec"
-            ops.append(ar)
+            subgroups.setdefault((sp, bl), []).append((e, ar))
+        for (sp, bl), sub in subgroups.items():
+            yield from self._run_ragged_stack(sp, bl, sub, ddw_pad, dup_pad)
+
+    def _run_ragged_stack(self, spec_p, blocks_p, sub, ddw_pad, dup_pad):
+        from .lanczos import lanczos_tridiag_op_stacked
+        ents = [e for e, _ in sub]
+        ops = [ar for _, ar in sub]
+        nlanc = max(e[4] for e in ents)
         Bpad = 1 << (max(len(e[5]) for e in ents) - 1).bit_length()
         # complex excitation vectors (chi combined channels) against a real
         # operator promote the whole stack, exactly as np.stack does on the

@@ -652,10 +652,19 @@ def np_unflatten_blocks(x: np.ndarray, sector: Sector):
 from functools import lru_cache as _lru_cache
 
 
-def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
+def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig, pad=None):
     """Returns (spec, arrays, shapes): use with `apply_op(spec, arrays, V)`
-    or `lanczos.lanczos_tridiag_op`."""
+    or `lanczos.lanczos_tridiag_op`.
+
+    pad=(ddw_pad, dup_pad, nnz_up, nnz_dw) zero-embeds a single-block,
+    no-mix sector operator into a (ddw_pad, dup_pad) block (the ragged-
+    batching form, see make_padded_matvec_op). One encoder serves both
+    forms so the dense/ozaki/COO encoding rules cannot diverge: with pad,
+    the decision is made from the PADDED shape and COO nonzeros pad to the
+    bucket max with zero-valued entries at (0, 0)."""
     sec = ham.sector
+    if pad is not None and (len(sec.blocks) != 1 or ham.mix):
+        raise ValueError("padded op requires a single block and no mix terms")
     rdtype = jnp.dtype(cfg.dtype)
     cdtype = jnp.dtype(jnp.complex128 if rdtype == jnp.float64
                        else jnp.complex64)
@@ -675,10 +684,15 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
         arrays.extend(arrs)
         return tuple(range(i0, len(arrays)))
 
-    def enc(coo: SpinCOO, side: str):
+    def enc(coo: SpinCOO, side: str, n_pad=None, nnz_pad=0):
         n, m = coo.shape
-        if max(n, m) <= thr:
+        if (max(n, m) if n_pad is None else n_pad) <= thr:
             dense = coo.to_dense()
+            if n_pad is not None:
+                d = np.zeros((n_pad, n_pad),
+                             dtype=complex if is_cplx else float)
+                d[:n, :m] = dense
+                dense = d
             if ozaki_n:
                 if side == "left":
                     op = _oz.SlicedMatrix(dense, ozaki_n, ozaki_b)
@@ -688,12 +702,32 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig):
                 return ("oz" + side[0], ozaki_n, ozaki_b) + idx
             idx = push(jnp.asarray(dense, dtype=vdtype))
             return ("dense",) + idx
-        if coo.rows.size == 0:
+        if (coo.rows.size if n_pad is None else nnz_pad) == 0:
             return ("none",)
-        idx = push(jnp.asarray(coo.rows, dtype=jnp.int32),
-                   jnp.asarray(coo.cols, dtype=jnp.int32),
-                   jnp.asarray(coo.vals, dtype=vdtype))
+        rows, cols, vals = coo.rows, coo.cols, coo.vals
+        if n_pad is not None:
+            k = coo.rows.size
+            rows = np.zeros(nnz_pad, dtype=np.int32)
+            cols = np.zeros(nnz_pad, dtype=np.int32)
+            vals = np.zeros(nnz_pad, dtype=complex if is_cplx else float)
+            rows[:k], cols[:k], vals[:k] = coo.rows, coo.cols, coo.vals
+        idx = push(jnp.asarray(rows, dtype=jnp.int32),
+                   jnp.asarray(cols, dtype=jnp.int32),
+                   jnp.asarray(vals, dtype=vdtype))
         return ("coo",) + idx
+
+    if pad is not None:
+        ddw_pad, dup_pad, nnz_up, nnz_dw = pad
+        blk = sec.blocks[0]
+        diag = np.zeros((ddw_pad, dup_pad))
+        diag[:blk.ddw, :blk.dup] = ham.diag[0]
+        diag_idx = push(jnp.asarray(diag, dtype=rdtype))[0]
+        hup_spec = enc(ham.hup[0], "right", dup_pad, nnz_up)
+        hdw_spec = enc(ham.hdw[0], "left", ddw_pad, nnz_dw)
+        blocks = ((ddw_pad, dup_pad),)
+        spec = (blocks, (diag_idx,), (hup_spec,), (hdw_spec,), (),
+                str(vdtype))
+        return spec, tuple(arrays), blocks
 
     blocks = tuple((b.ddw, b.dup) for b in sec.blocks)
     diag_idx = []
@@ -787,65 +821,9 @@ def make_padded_matvec_op(ham: SectorHamiltonian, cfg: EDConfig,
     device scan (gf_common.ResolventBatch ragged buckets).
 
     The encoding decision (dense / ozaki-sliced / COO) is made from the
-    PADDED shape with the same rules as `make_matvec_op`, so every member
-    of a bucket produces the same spec; COO nonzeros pad to (nnz_up,
-    nnz_dw) with zero-valued entries at (0, 0).
+    PADDED shape with the same rules as `make_matvec_op` (it IS
+    make_matvec_op with pad=...), so every member of a bucket produces the
+    same spec; COO nonzeros pad to (nnz_up, nnz_dw) with zero-valued
+    entries at (0, 0).
     """
-    sec = ham.sector
-    if len(sec.blocks) != 1 or ham.mix:
-        raise ValueError("padded op requires a single block and no mix terms")
-    blk = sec.blocks[0]
-    rdtype = jnp.dtype(cfg.dtype)
-    cdtype = jnp.dtype(jnp.complex128 if rdtype == jnp.float64
-                       else jnp.complex64)
-    is_cplx = np.issubdtype(ham.dtype, np.complexfloating)
-    vdtype = cdtype if is_cplx else rdtype
-    thr = cfg.dense_matmul_threshold
-    ozaki_n = ozaki_b = 0
-    if cfg.matmul_precision.startswith("ozaki") and not is_cplx \
-            and rdtype == jnp.float64:
-        from . import ozaki as _oz
-        ozaki_n, ozaki_b = _oz.parse_precision(cfg.matmul_precision)
-
-    arrays = []
-
-    def push(*arrs):
-        i0 = len(arrays)
-        arrays.extend(arrs)
-        return tuple(range(i0, len(arrays)))
-
-    def enc_pad(coo: SpinCOO, side: str, n_pad: int, nnz_pad: int):
-        n, m = coo.shape
-        if n_pad <= thr:
-            dense = np.zeros((n_pad, n_pad),
-                             dtype=complex if is_cplx else float)
-            dense[:n, :m] = coo.to_dense()
-            if ozaki_n:
-                from . import ozaki as _oz
-                if side == "left":
-                    op = _oz.SlicedMatrix(dense, ozaki_n, ozaki_b)
-                else:
-                    op = _oz.SlicedRightOperand(dense.T, ozaki_n, ozaki_b)
-                idx = push(op.digits, op.scales)
-                return ("oz" + side[0], ozaki_n, ozaki_b) + idx
-            idx = push(jnp.asarray(dense, dtype=vdtype))
-            return ("dense",) + idx
-        if nnz_pad == 0:
-            return ("none",)
-        rows = np.zeros(nnz_pad, dtype=np.int32)
-        cols = np.zeros(nnz_pad, dtype=np.int32)
-        vals = np.zeros(nnz_pad, dtype=complex if is_cplx else float)
-        k = coo.rows.size
-        rows[:k], cols[:k], vals[:k] = coo.rows, coo.cols, coo.vals
-        idx = push(jnp.asarray(rows), jnp.asarray(cols),
-                   jnp.asarray(vals, dtype=vdtype))
-        return ("coo",) + idx
-
-    diag = np.zeros((ddw_pad, dup_pad))
-    diag[:blk.ddw, :blk.dup] = ham.diag[0]
-    diag_idx = push(jnp.asarray(diag, dtype=rdtype))[0]
-    hup_spec = enc_pad(ham.hup[0], "right", dup_pad, nnz_up)
-    hdw_spec = enc_pad(ham.hdw[0], "left", ddw_pad, nnz_dw)
-    blocks = ((ddw_pad, dup_pad),)
-    spec = (blocks, (diag_idx,), (hup_spec,), (hdw_spec,), (), str(vdtype))
-    return spec, tuple(arrays), blocks
+    return make_matvec_op(ham, cfg, pad=(ddw_pad, dup_pad, nnz_up, nnz_dw))

@@ -27,8 +27,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import EDConfig, read_input
-from ..lattice_solver import LatticeEDSolver
-from ..lattice import gloc_hk_lattice, self_consistency, ConvergenceMonitor
 
 #: moiré lattice constant at theta = 1.05 deg (ed_tBLG_wannier.f90:81, nm)
 LM = 13.422225299852479
@@ -141,7 +139,6 @@ def run(cfg: EDConfig, idx: np.ndarray, t: np.ndarray, nk: int = 20,
     assert cfg.norb == 1, "tBLG driver: Norb=1 (ed_tBLG_wannier.f90:78)"
     from .lattice_loop import run_sites
     hk = tblg_hk(idx, t, nk)
-    nlat = 4
     # spin-degenerate model: expand hk over spin if nspin == 2
     if cfg.nspin == 2:
         nkk = hk.shape[-1]
