@@ -81,22 +81,20 @@ class _BoseAccum:
                 axis=0)
 
 
-def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
-                 hloc, finite_t: bool, rows, log=None, mesh=None):
-    """rows: list of (row_index, builder) where builder(sector, vec) returns
-    None or (target_sector, vector[, cnorm_multiplier[, isigns]]).
+def chi_rows_plan(cfg: EDConfig, slist: StateList, rows, batch, site: int = 0,
+                  kind: str = ""):
+    """Add probe channels to a (possibly cross-site) ResolventBatch and
+    return a finalizer. rows: list of (row_index, builder) where
+    builder(sector, vec) returns None or
+    (target_sector, vector[, cnorm_multiplier[, isigns]]).
 
     All probe channels run through gf_common.ResolventBatch — the same
     device batching (channels per sector on a vmap axis, equal-structure
-    sectors stacked, big sectors row-sharded on the mesh) as the GF pass;
-    the reference runs each chi channel through a serial Lanczos
-    (ED_GF_CHISPIN.f90:254-323 semantics preserved in add_poles)."""
-    from .gf_common import ResolventBatch
-    cache = HamCache(cfg, bath, hloc, mesh)
+    sectors stacked including the cross-site lattice axis, big sectors
+    row-sharded on the mesh) as the GF pass; the reference runs each chi
+    channel through a serial Lanczos, distributing the per-site buildchi
+    over MPI ranks (ED_MAIN.f90:576-678 over ED_GF_CHI*.f90)."""
     nrow = max(r for r, _ in rows) + 1
-    acc = _BoseAccum(cfg, nrow)
-    egs = slist.emin
-    batch = ResolventBatch(cfg, cache, egs, zeta, finite_t)
     for row, build in rows:
         for sector, e_i, vec in state_iter(slist):
             r = build(sector, vec)
@@ -106,19 +104,29 @@ def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
             cnorm = r[2] if len(r) > 2 else 1.0
             isigns = r[3] if len(r) > 3 else (1, -1)
             batch.add(jsec, vv, e_i,
-                      {"row": row, "isigns": isigns, "cnorm2": cnorm})
-    for meta, w, p in batch.run():
-        acc.add_poles(meta["row"], w, p, meta["isigns"])
-    return acc.chi_tau, acc.chi_iv, acc.chi_w
+                      {"row": row, "isigns": isigns, "cnorm2": cnorm,
+                       "site": site, "chi": kind}, site=site)
+
+    def finalize(results):
+        acc = _BoseAccum(cfg, nrow)
+        for meta, w, p in results:
+            acc.add_poles(meta["row"], w, p, meta["isigns"])
+        return acc.chi_tau, acc.chi_iv, acc.chi_w
+    return finalize
 
 
-def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                   log=None, mesh=None):
-    """χ^z_aa = <Sz_a(τ) Sz_a(0)> per orbital + total (build_chi_spin).
-    Returns arrays [Norb(+1 tot), Norb broadcast, L] shaped [N, N, L]-like:
-    here (rows = orbitals + total) mapped to [Norb+t, Norb+t] diag layout."""
-    if log:
-        log("Get impurity spin Chi:")
+def _chi_generic(cfg: EDConfig, slist: StateList, zeta: float, bath: Bath,
+                 hloc, finite_t: bool, rows, log=None, mesh=None):
+    """Single-impurity driver over chi_rows_plan."""
+    from .gf_common import ResolventBatch
+    cache = HamCache(cfg, bath, hloc, mesh)
+    batch = ResolventBatch(cfg, cache, slist.emin, zeta, finite_t)
+    fin = chi_rows_plan(cfg, slist, rows, batch)
+    return fin(list(batch.run()))
+
+
+def _rows_spin(cfg: EDConfig):
+    """χ^z_aa = <Sz_a(τ) Sz_a(0)> per orbital + total (build_chi_spin)."""
     ns = cfg.ns
 
     def sz_op(a):
@@ -138,18 +146,24 @@ def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
     rows = [(a, sz_op(a)) for a in range(cfg.norb)]
     if cfg.norb > 1:
         rows.append((cfg.norb, sz_tot))
-    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log, mesh)
-    return _to_matrix(cfg, tau_, iv_, w_)
+    return rows, lambda tau_, iv_, w_: _to_matrix(cfg, tau_, iv_, w_)
 
 
-def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+def build_chi_spin(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
                    log=None, mesh=None):
+    """Returns arrays [Norb(+1 tot), Norb broadcast, L] shaped [N, N, L]-like:
+    here (rows = orbitals + total) mapped to [Norb+t, Norb+t] diag layout."""
+    if log:
+        log("Get impurity spin Chi:")
+    rows, post = _rows_spin(cfg)
+    return post(*_chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                              rows, log, mesh))
+
+
+def _rows_dens(cfg: EDConfig):
     """χ_nn: orbital-diagonal, off-diagonal (via (n_a+n_b) and (n_a∓i n_b)
     combinations with the (1+i) reconstruction on χ(ω),
     ED_GF_CHIDENS.f90:18-66, :280-470) and total-density channels."""
-    if log:
-        log("Get impurity dens Chi:")
     ns = cfg.ns
     norb = cfg.norb
 
@@ -165,6 +179,7 @@ def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
     rows = [(a, n_comb({a: 1.0})) for a in range(norb)]
     pair_rows = {}
     nrow = norb
+    tot_row = None
     if norb > 1:
         for a in range(norb):
             for b in range(a + 1, norb):
@@ -184,25 +199,35 @@ def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
         rows.append((nrow, n_comb({a: 1.0 for a in range(norb)})))
         tot_row = nrow
         nrow += 1
-    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log, mesh)
-    n = norb + (1 if norb > 1 else 0)
-    out_tau = np.zeros((n, n, tau_.shape[-1]), dtype=complex)
-    out_iv = np.zeros((n, n, iv_.shape[-1]), dtype=complex)
-    out_w = np.zeros((n, n, w_.shape[-1]), dtype=complex)
-    for a in range(norb):
-        out_tau[a, a], out_iv[a, a], out_w[a, a] = tau_[a], iv_[a], w_[a]
-    if norb > 1:
-        out_tau[norb, norb] = tau_[tot_row]
-        out_iv[norb, norb] = iv_[tot_row]
-        out_w[norb, norb] = w_[tot_row]
-        for (a, b), row in pair_rows.items():
-            out_tau[a, b] = out_tau[b, a] = tau_[row]
-            out_iv[a, b] = out_iv[b, a] = iv_[row]
-            # (1+i) reconstruction applied to χ(ω) as in the reference
-            w_ab = 0.5 * (w_[row] - (1 + 1j) * w_[a] - (1 + 1j) * w_[b])
-            out_w[a, b] = out_w[b, a] = w_ab
-    return out_tau, out_iv, out_w
+
+    def post(tau_, iv_, w_):
+        n = norb + (1 if norb > 1 else 0)
+        out_tau = np.zeros((n, n, tau_.shape[-1]), dtype=complex)
+        out_iv = np.zeros((n, n, iv_.shape[-1]), dtype=complex)
+        out_w = np.zeros((n, n, w_.shape[-1]), dtype=complex)
+        for a in range(norb):
+            out_tau[a, a], out_iv[a, a], out_w[a, a] = tau_[a], iv_[a], w_[a]
+        if norb > 1:
+            out_tau[norb, norb] = tau_[tot_row]
+            out_iv[norb, norb] = iv_[tot_row]
+            out_w[norb, norb] = w_[tot_row]
+            for (a, b), row in pair_rows.items():
+                out_tau[a, b] = out_tau[b, a] = tau_[row]
+                out_iv[a, b] = out_iv[b, a] = iv_[row]
+                # (1+i) reconstruction applied to χ(ω) as in the reference
+                w_ab = 0.5 * (w_[row] - (1 + 1j) * w_[a] - (1 + 1j) * w_[b])
+                out_w[a, b] = out_w[b, a] = w_ab
+        return out_tau, out_iv, out_w
+    return rows, post
+
+
+def build_chi_dens(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                   log=None, mesh=None):
+    if log:
+        log("Get impurity dens Chi:")
+    rows, post = _rows_dens(cfg)
+    return post(*_chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                              rows, log, mesh))
 
 
 def _nvec(ns, coeffs):
@@ -213,8 +238,7 @@ def _nvec(ns, coeffs):
     return up, dw
 
 
-def build_chi_dens_mix(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                       log=None, mesh=None):
+def _rows_dens_mix(cfg: EDConfig):
     """χ_mix^{ab}: orbital-mixing density response over ALL pairs (a, b),
     diagonal included — the reference's separate densChi_mix_* arrays
     (ED_GF_CHIDENS.f90:490-673, add_to_lanczos_densChi_mix). Per spin
@@ -225,9 +249,7 @@ def build_chi_dens_mix(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
         isign=-1 with v = c†_{a,σ} c_{b,σ} |ψ⟩
 
     both number-conserving, so the resolvent runs in the state's own
-    sector. Returns (tau, iv, w) arrays shaped [norb, norb, L]."""
-    if log:
-        log("Get impurity dens Chi (mix):")
+    sector. Post shape: (tau, iv, w) arrays [norb, norb, L]."""
     from .excitations import apply_hop_op
     table = sector_table(cfg)
     norb = cfg.norb
@@ -247,20 +269,27 @@ def build_chi_dens_mix(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
             for s in range(cfg.nspin):
                 rows.append((row, hop(s, a, b, 1)))
                 rows.append((row, hop(s, b, a, -1)))
-    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log, mesh)
-    shape = (norb, norb)
-    return (tau_.reshape(shape + tau_.shape[-1:]),
-            iv_.reshape(shape + iv_.shape[-1:]),
-            w_.reshape(shape + w_.shape[-1:]))
+
+    def post(tau_, iv_, w_):
+        shape = (norb, norb)
+        return (tau_.reshape(shape + tau_.shape[-1:]),
+                iv_.reshape(shape + iv_.shape[-1:]),
+                w_.reshape(shape + w_.shape[-1:]))
+    return rows, post
 
 
-def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
-                   log=None, mesh=None):
+def build_chi_dens_mix(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                       log=None, mesh=None):
+    if log:
+        log("Get impurity dens Chi (mix):")
+    rows, post = _rows_dens_mix(cfg)
+    return post(*_chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                              rows, log, mesh))
+
+
+def _rows_pair(cfg: EDConfig):
     """χ_pair_aa with the pair operator Δ_a = c_{a,dw} c_{a,up}
     (build_chi_pair; ED_GF_CHIPAIR.f90:60-130)."""
-    if log:
-        log("Get impurity pair Chi:")
     table = sector_table(cfg)
 
     def pair_op(a):
@@ -276,9 +305,31 @@ def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
         return build
 
     rows = [(a, pair_op(a)) for a in range(cfg.norb)]
-    tau_, iv_, w_ = _chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
-                                 rows, log, mesh)
-    return _to_matrix(cfg, tau_, iv_, w_)
+    return rows, lambda tau_, iv_, w_: _to_matrix(cfg, tau_, iv_, w_)
+
+
+def build_chi_pair(cfg: EDConfig, slist, zeta, bath, hloc, finite_t,
+                   log=None, mesh=None):
+    if log:
+        log("Get impurity pair Chi:")
+    rows, post = _rows_pair(cfg)
+    return post(*_chi_generic(cfg, slist, zeta, bath, hloc, finite_t,
+                              rows, log, mesh))
+
+
+_CHI_KINDS = {"spin": _rows_spin, "dens": _rows_dens,
+              "dens_mix": _rows_dens_mix, "pair": _rows_pair}
+
+
+def chi_plan(cfg: EDConfig, kind: str, slist, batch, site: int = 0):
+    """Add one chi kind's probe channels for one site to a shared
+    cross-site ResolventBatch (lattice_solver._batched_chi) and return the
+    finalizer mapping that site's (meta, w, p) results to the chi tuple —
+    the χ analogue of gf_normal_plan. Replaces the reference's per-rank
+    serial buildchi under the MPI site loop (ED_MAIN.f90:576-678)."""
+    rows, post = _CHI_KINDS[kind](cfg)
+    fin = chi_rows_plan(cfg, slist, rows, batch, site=site, kind=kind)
+    return lambda results: post(*fin(results))
 
 
 def _to_matrix(cfg, tau_, iv_, w_):

@@ -60,6 +60,10 @@ class EDConfig:
     chispin_flag: bool = False
     chidens_flag: bool = False
     chipair_flag: bool = False
+    # chi_exct does not exist in this reference version (ED_INPUT_VARS.f90
+    # has only spin/dens/pair flags); the field is kept so inputs written
+    # for later upstream versions parse, but setting it True errors loudly
+    # in validate() instead of silently no-oping.
     chiexct_flag: bool = False
     hfmode: bool = True           # Hartree form U(n-1/2)(n-1/2)
     eps: float = 0.01             # real-axis broadening
@@ -157,6 +161,11 @@ class EDConfig:
             raise ValueError(f"unknown bath_type {self.bath_type}")
         if self.ed_mode == "superc" and self.bath_type == "replica":
             raise ValueError("superc + replica bath is not implemented (as in reference)")
+        if self.chiexct_flag:
+            raise ValueError(
+                "chiexct_flag: excitonic susceptibility is not available in "
+                "this reference version (no chi_exct in ED_INPUT_VARS.f90) "
+                "and is not implemented here")
         return self
 
 

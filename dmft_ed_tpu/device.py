@@ -87,6 +87,17 @@ def ragged_batching(total_elems: int, dtype=None) -> bool:
     return dtype is None or _holds(dev, dtype)
 
 
+@lru_cache(maxsize=1)
+def ozaki_fused() -> bool:
+    """Whether the two-orientation fused Ozaki matvec (ozaki.fused_two_sided:
+    [Hdw | λV] @ [λV; HupT], one K-concat product set + one TwoSum epilogue
+    per iteration) encodes in make_matvec_op. Default on — same MACs,
+    higher size-bound s8 rate and half the epilogue; kill-switch
+    DMFT_ED_OZAKI_FUSED=0 restores the two separate pre-sliced products."""
+    return os.environ.get("DMFT_ED_OZAKI_FUSED", "1").lower() \
+        not in ("0", "off", "never")
+
+
 def _holds(dev, dtype) -> bool:
     if dev.platform in _NO_C128 and jnp.dtype(dtype) == jnp.complex128:
         return False

@@ -102,7 +102,7 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
         # (the analogue of the reference's MPI sector solve,
         # ED_MAIN.f90:284-327)
         from .parallel.hxv import solve_sector_sharded
-        return solve_sector_sharded(cfg, ham, neigen, rng, mesh)
+        return solve_sector_sharded(cfg, ham, neigen, rng, mesh, v0=v0)
     spec, arrays, blocks = make_matvec_op(ham, cfg)
     cplx = spec[-1].startswith("complex")
     if v0 is None:
@@ -259,7 +259,11 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
     # needs no Hamiltonians.
     from .hamiltonian import single_particle_parts
     Tuu_s, _, Tud_s, P_s = single_particle_parts(cfg, bath, hloc)
-    struct_mix = bool(np.any(Tud_s)) or bool(np.any(P_s))
+    # Spin-exchange/pair-hopping (Hint.f90 Jhflag) add MixTerms inside
+    # single-block normal sectors too — they must disqualify the padded
+    # ragged path, which requires a mix-free single block.
+    struct_mix = bool(np.any(Tud_s)) or bool(np.any(P_s)) \
+        or (cfg.norb > 1 and (cfg.jx != 0.0 or cfg.jp != 0.0))
     struct_cplx = np.issubdtype(
         np.result_type(Tuu_s.dtype,
                        np.complex128 if np.any(Tud_s) else np.float64),
@@ -267,10 +271,17 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
     plain = cfg.lanc_method.lower() == "lanczos"
     buckets: dict = {}
     routes = []
+    v0s = {}
     for pos, (sec, tflag, neigen) in enumerate(sweep):
         lanc_solve = (neigen < sec.dim) and (sec.dim > cfg.lanc_dim_threshold)
         sharded = mesh is not None and mesh.shape.get("rows", 1) > 1 \
             and sec.dim >= cfg.shard_dim_threshold
+        # Draw every Krylov start vector HERE, in sweep order, so serial,
+        # sharded and ragged-batched routings consume the identical rng
+        # stream regardless of when a bucket actually solves (the sector
+        # scalar dtype is structural, so struct_cplx is exact).
+        if lanc_solve:
+            v0s[pos] = _draw_v0(cfg, struct_cplx, sec.dim, rng)
         if lanc_solve and len(sec.blocks) == 1 and not struct_mix \
                 and not sharded and not plain:
             key = (struct_cplx, 1 << (sec.dim - 1).bit_length())
@@ -296,7 +307,8 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
             ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
             if lanc_solve:
                 evals, evecs = _solve_sector_lanczos(cfg, ham, neigen,
-                                                     rng, mesh)
+                                                     rng, mesh,
+                                                     v0=v0s.pop(pos))
             else:
                 evals, evecs = _solve_sector_dense(ham, neigen)
                 evals, evecs = evals[:neigen], evecs[:neigen]
@@ -307,23 +319,14 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                 for p in buckets[routes[pos]]:
                     s2, _, n2 = sweep[p]
                     ham2 = build_sector_hamiltonian(cfg, s2, bath, hloc)
-                    cplx2 = np.issubdtype(ham2.dtype, np.complexfloating)
-                    tasks.append((s2, ham2, n2,
-                                  _draw_v0(cfg, cplx2, s2.dim, rng)))
+                    tasks.append((s2, ham2, n2, v0s.pop(p)))
                 res = {}
                 _solve_deferred_ragged(cfg, tasks, res, rng)
                 del tasks
                 for p in buckets[routes[pos]]:
                     pending[p] = res[sweep[p][0].index]
             evals, evecs = pending.pop(pos)
-        # eigenvalues_list file (ED_DIAG.f90:238-243, appended per sector)
-        try:
-            with open(f"eigenvalues_list{suffix}.ed", "a") as fh:
-                fh.write(f"# sector {sec.index + 1} {sector_label(sec)}\n")
-                for e in np.atleast_1d(evals):
-                    fh.write(f"{e:.12f}\n")
-        except OSError:
-            pass
+        _append_eigenvalues(suffix, sec, evals)
 
         if finite_t:
             for e, v in zip(evals, evecs):
@@ -339,52 +342,75 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                     oldzero = min(oldzero, e)
                     slist.add(e, v, sec, table, twin=tflag)
 
-    # ---- post-diag (ED_DIAG.f90:383-566)
-    zeta = slist.partition_function(cfg.beta, finite_t)
-    if finite_t:
-        # histogram of sectors contributing to the kept spectrum
-        # (histogram_states.ed, ED_DIAG.f90:474-490)
-        try:
-            counts_h = np.zeros(len(table), dtype=int)
-            for s in slist:
-                counts_h[s.sector.index] += 1
-            with open(f"histogram_states{suffix}.ed", "a") as fh:
-                for i, c in enumerate(counts_h):
-                    if c:
-                        fh.write(f"{i + 1} {c}\n")
-                fh.write("\n")
-        except OSError:
-            pass
-    if finite_t:
-        # per-sector neigen feedback
-        counts = {i: 0 for i in state.neigen_sector}
-        for s in slist:
-            counts[s.sector.index] += 1
-        for i in state.neigen_sector:
-            if counts[i] > 0:
-                state.neigen_sector[i] += 1
-            else:
-                state.neigen_sector[i] -= 1
-            if state.neigen_sector[i] > counts[i]:
-                state.neigen_sector[i] = counts[i] + 1
-            if state.neigen_sector[i] <= 0:
-                state.neigen_sector[i] = 1
-        # Boltzmann-cutoff feedback on total kept states
-        egs, ec = slist.emin, slist.emax
-        if np.exp(-cfg.beta * (ec - egs)) > cfg.cutoff:
-            state.lanc_nstates_total += cfg.lanc_nstates_step
-            if log:
-                log(f"Increasing lanc_nstates_total: {state.lanc_nstates_total}")
-        else:
-            while len(slist) > 1 and np.exp(
-                    -cfg.beta * (slist.emax - egs)) <= cfg.cutoff:
-                slist.pop_last()
-            state.lanc_nstates_total = max(len(slist), cfg.lanc_nstates_step) \
-                + cfg.lanc_nstates_step
+    # ---- post-diag (ED_DIAG.f90:383-566), shared with diagonalize_sites
+    zeta = _post_diag(cfg, table, slist, state, finite_t, suffix, log)
     if log and cfg.ed_verbose >= 2:
         log(f"Diagonalization done in {time.time() - t0:.2f}s: "
             f"{len(slist)} states, Egs={slist.emin:.12f}, Z={zeta:.6f}")
     return slist, zeta, state
+
+
+def _append_eigenvalues(suffix: str, sec, evals) -> None:
+    """eigenvalues_list file (ED_DIAG.f90:238-243, appended per sector)."""
+    try:
+        with open(f"eigenvalues_list{suffix}.ed", "a") as fh:
+            fh.write(f"# sector {sec.index + 1} {sector_label(sec)}\n")
+            for e in np.atleast_1d(evals):
+                fh.write(f"{e:.12f}\n")
+    except OSError:
+        pass
+
+
+def _post_diag(cfg: EDConfig, table, slist, state: DiagState,
+               finite_t: bool, suffix: str, log=None) -> float:
+    """Finite-T spectrum adaptation after a sector sweep
+    (ED_DIAG.f90:445-566): histogram_states file, per-sector
+    neigen_sector feedback, Boltzmann-cutoff trimming and
+    lanc_nstates_total auto-tuning. Shared between the single-impurity
+    sweep and the per-site state lists of diagonalize_sites. Returns the
+    partition function."""
+    zeta = slist.partition_function(cfg.beta, finite_t)
+    if not finite_t:
+        return zeta
+    # histogram of sectors contributing to the kept spectrum
+    # (histogram_states.ed, ED_DIAG.f90:474-490)
+    try:
+        counts_h = np.zeros(len(table), dtype=int)
+        for s in slist:
+            counts_h[s.sector.index] += 1
+        with open(f"histogram_states{suffix}.ed", "a") as fh:
+            for i, c in enumerate(counts_h):
+                if c:
+                    fh.write(f"{i + 1} {c}\n")
+            fh.write("\n")
+    except OSError:
+        pass
+    # per-sector neigen feedback (ED_DIAG.f90:494-515)
+    counts = {i: 0 for i in state.neigen_sector}
+    for s in slist:
+        counts[s.sector.index] += 1
+    for i in state.neigen_sector:
+        if counts[i] > 0:
+            state.neigen_sector[i] += 1
+        else:
+            state.neigen_sector[i] -= 1
+        if state.neigen_sector[i] > counts[i]:
+            state.neigen_sector[i] = counts[i] + 1
+        if state.neigen_sector[i] <= 0:
+            state.neigen_sector[i] = 1
+    # Boltzmann-cutoff feedback on total kept states (ED_DIAG.f90:516-565)
+    egs, ec = slist.emin, slist.emax
+    if np.exp(-cfg.beta * (ec - egs)) > cfg.cutoff:
+        state.lanc_nstates_total += cfg.lanc_nstates_step
+        if log:
+            log(f"Increasing lanc_nstates_total: {state.lanc_nstates_total}")
+    else:
+        while len(slist) > 1 and np.exp(
+                -cfg.beta * (slist.emax - egs)) <= cfg.cutoff:
+            slist.pop_last()
+        state.lanc_nstates_total = max(len(slist), cfg.lanc_nstates_step) \
+            + cfg.lanc_nstates_step
+    return zeta
 
 
 def write_state_list(cfg: EDConfig, slist: StateList, zeta: float,
@@ -468,6 +494,10 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
     for sec in table.sectors:
         if sec.dim == 0 or not tmask[sec.index]:
             continue
+        # Jz_max pruning (ED_DIAG.f90:73), as in the single-impurity sweep
+        if cfg.jz_basis and cfg.jz_max and \
+                abs(sec.qn[2]) > int(2 * cfg.jz_max_value):
+            continue
         active = [smasks[i][sec.index] for i in range(nsites)]
         if not any(active):
             continue
@@ -493,6 +523,7 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
             for bi, i in enumerate(idx):
                 ne = neigen[i]
                 evals, evecs = evals_b[bi][:ne], evecs_b[bi][:, :ne].T
+                _append_eigenvalues(suffixes[i], sec, evals)
                 _collect(cfg, table, slists[i], sec, evals, evecs,
                          finite_t, states[i], oldzero, i, twin=tflag)
         else:
@@ -527,6 +558,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
                     tol=cfg.lanc_tolerance, mesh=mesh)
                 for bi, i in enumerate(idx):
                     k = min(neigen[i], len(evecs_b[bi]))
+                    _append_eigenvalues(suffixes[i], sec,
+                                        np.asarray(evals_b[bi][:k]))
                     _collect(cfg, table, slists[i], sec,
                              np.asarray(evals_b[bi][:k]), evecs_b[bi][:k],
                              finite_t, states[i], oldzero, i, twin=tflag)
@@ -535,9 +568,15 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
                     evals, evecs = _solve_sector_lanczos(cfg, hams[i],
                                                          neigen[i], rng,
                                                          mesh)
+                    _append_eigenvalues(suffixes[i], sec, evals)
                     _collect(cfg, table, slists[i], sec, evals, evecs,
                              finite_t, states[i], oldzero, i, twin=tflag)
-    zetas = [sl.partition_function(cfg.beta, finite_t) for sl in slists]
+    # per-site finite-T post-diag (Boltzmann trimming, neigen feedback,
+    # lanc_nstates_total tuning, histogram files) — the FULL ed_post_diag
+    # the reference runs per site (ED_DIAG.f90:445-566), shared with the
+    # single-impurity sweep
+    zetas = [_post_diag(cfg, table, slists[i], states[i], finite_t,
+                        suffixes[i], log) for i in range(nsites)]
     return slists, zetas, states
 
 

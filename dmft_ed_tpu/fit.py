@@ -315,18 +315,17 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
             "gtol": 1e-12}
     bnd = _param_bound(xw)
     if cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
-        # fit the exactly-equivalent Δ targets: the weiss objective has
-        # V->0 collapse minima that destroy DMFT convergence (see
-        # chi2_fitgf); tnorm_* keep the fallback threshold in the same
-        # (delta) space as the reported chi^2
+        # two-stage weiss fit (see chi2_fitgf): Δ-target pre-conditioning
+        # pass (collapse-free landscape), then polish on the true weiss
+        # objective — the weiss minimum is the one the DMFT fixed point
+        # needs for inexact small-Nbath fits.
         dts = np.stack([_delta_target_from_weiss(
             cfg, np.asarray(tgts[i]), np.asarray(x), hlocs[i])
             for i in range(S)])
-        fun, per_f = make_joint("delta", jnp.asarray(dts), None)
-        tnorm_tgts, tnorm_ans = dts, None
-    else:
-        fun, per_f = make_joint(cfg.cg_scheme, tgts, tgts_an)
-        tnorm_tgts, tnorm_ans = tgts, tgts_an
+        fun_d, _ = make_joint("delta", jnp.asarray(dts), None)
+        x0 = minimize(fun_d, x0, jac=True, method="L-BFGS-B", options=opts).x
+    fun, per_f = make_joint(cfg.cg_scheme, tgts, tgts_an)
+    tnorm_tgts, tnorm_ans = tgts, tgts_an
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
     per = np.asarray(per_f(jnp.asarray(res.x).reshape(S, n)))
     # fallback threshold RELATIVE to the weighted target norm: at strong
@@ -435,19 +434,24 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
         # The weiss chi^2 landscape has V_k -> 0 collapse minima: an
         # (insulating-like) target G0 ~ 1/(iw) is matched EXACTLY by a
         # decoupled bath, and that basin carries a near-degenerate manifold
-        # of tiny-V solutions the optimizer hops between across DMFT
-        # iterations, preventing fixed-point convergence. Fit the exactly
-        # equivalent Δ target instead (zero-residual solutions identical;
-        # the objective is smooth and collapse-free, nearly linear in V^2).
-        # Design deviation from fitgf_normal_normal.f90:326-335, which
-        # minimizes in weiss space with a local warm-started CG.
+        # of tiny-V solutions a cold-started optimizer can fall into. Two
+        # stages: pre-condition by fitting the exactly-equivalent Δ target
+        # (smooth, collapse-free, nearly linear in V^2), then POLISH on the
+        # true weiss objective from that basin — local descent from a good
+        # start does not reach the collapse manifold, and for an inexact
+        # (small-Nbath) bath the weiss and delta minima genuinely differ
+        # (weiss weights the low-frequency region the DMFT fixed point is
+        # most sensitive to). Matches fitgf_normal_normal.f90:326-335
+        # semantics (weiss-space minimum) with a robust start.
+        # (Round-3 regression note: fitting ONLY the Δ target shifted the
+        # fixed point of small-bath loops — square-flake/soc_ineq e2e.)
         dt = _delta_target_from_weiss(cfg, np.asarray(tgt), np.asarray(x),
                                       hloc)
-        fun = make_obj(jnp.asarray(dt), None, "delta")
-        tnorm_tgt, tnorm_an = dt, None
-    else:
-        fun = make_obj(tgt, tgt_an, cfg.cg_scheme)
-        tnorm_tgt, tnorm_an = tgt, tgt_an
+        pre = minimize(make_obj(jnp.asarray(dt), None, "delta"), x0,
+                       jac=True, method="L-BFGS-B", options=opts)
+        x0 = pre.x
+    fun = make_obj(tgt, tgt_an, cfg.cg_scheme)
+    tnorm_tgt, tnorm_an = tgt, tgt_an
     res = minimize(fun, x0, jac=True, method="L-BFGS-B", options=opts)
     # Jittered restarts ONLY as a backstop against clearly-failed (cold-start)
     # fits: inside a DMFT loop the warm start must be respected — random

@@ -554,8 +554,25 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
                         jnp.asarray(coo.cols, dtype=jnp.int32),
                         jnp.asarray(coo.vals, dtype=vdtype)))
 
-    hup = [prep(c, True, "right") for c in ham.hup]
-    hdw = [prep(c, True, "left") for c in ham.hdw]
+    def prep_block(coo_up: SpinCOO, coo_dw: SpinCOO):
+        """(hup_spec, hdw_spec) per block; when both spin parts are
+        dense-ozaki, encode as ONE fused two-orientation product
+        (ozaki.fused_two_sided — same MACs, doubled contraction axis, one
+        TwoSum epilogue; see make_matvec_op.enc_fused)."""
+        from .device import ozaki_fused
+        if ozaki_n and ozaki_fused() \
+                and max(coo_up.shape) <= thr and max(coo_dw.shape) <= thr:
+            return (("fused", None),
+                    ("ozaki_fused",
+                     (jnp.asarray(coo_dw.to_dense(), dtype=rdtype),
+                      jnp.asarray(coo_up.to_dense().T, dtype=rdtype))))
+        return prep(coo_up, True, "right"), prep(coo_dw, True, "left")
+
+    hup, hdw = [], []
+    for cu, cd in zip(ham.hup, ham.hdw):
+        su, sd = prep_block(cu, cd)
+        hup.append(su)
+        hdw.append(sd)
     mix = []
     for t in ham.mix:
         up = prep(t.up, True, "right") if t.up is not None else None
@@ -592,6 +609,12 @@ def make_matvec(ham: SectorHamiltonian, cfg: EDConfig):
         for bi, blk in enumerate(sec.blocks):
             v = V[bi]
             y = diag[bi] * v
+            if hdw[bi][0] == "ozaki_fused":
+                Hdw_d, HupT_d = hdw[bi][1]
+                y = y + _ozaki.fused_two_sided(Hdw_d, HupT_d, v,
+                                               ozaki_n, ozaki_b)
+                Y.append(y)
+                continue
             r = apply_up(v, hup[bi], blk.dup)
             if r is not None:
                 y = y + r
@@ -676,6 +699,7 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig, pad=None):
             and rdtype == jnp.float64:
         from . import ozaki as _oz
         ozaki_n, ozaki_b = _oz.parse_precision(cfg.matmul_precision)
+    from .device import ozaki_fused
 
     arrays = []
 
@@ -683,6 +707,36 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig, pad=None):
         i0 = len(arrays)
         arrays.extend(arrs)
         return tuple(range(i0, len(arrays)))
+
+    def enc_fused(coo_up: SpinCOO, coo_dw: SpinCOO,
+                  up_pad=None, dw_pad=None):
+        """('ozf', n, b, iHdw, iHupT) when BOTH spin parts of a block
+        encode dense-ozaki: the applier then runs ONE fused two-orientation
+        K-concat product (ozaki.fused_two_sided) instead of two pre-sliced
+        ones — same MACs, doubled contraction axis (higher size-bound s8
+        rate) and a single TwoSum epilogue. Raw f64 matrices are pushed
+        (re-sliced per call with the combined row/col scales; slicing is
+        ~1% of the product at headline shapes)."""
+        if not ozaki_n or not ozaki_fused():
+            return None
+        nu, mu = coo_up.shape
+        nd, md = coo_dw.shape
+        if (max(nu, mu) if up_pad is None else up_pad) > thr or \
+                (max(nd, md) if dw_pad is None else dw_pad) > thr:
+            return None
+        du = coo_up.to_dense()
+        dd = coo_dw.to_dense()
+        if up_pad is not None:
+            d = np.zeros((up_pad, up_pad))
+            d[:nu, :mu] = du
+            du = d
+        if dw_pad is not None:
+            d = np.zeros((dw_pad, dw_pad))
+            d[:nd, :md] = dd
+            dd = d
+        idx = push(jnp.asarray(dd, dtype=rdtype),
+                   jnp.asarray(du.T, dtype=rdtype))
+        return ("ozf", ozaki_n, ozaki_b) + idx
 
     def enc(coo: SpinCOO, side: str, n_pad=None, nnz_pad=0):
         n, m = coo.shape
@@ -722,8 +776,12 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig, pad=None):
         diag = np.zeros((ddw_pad, dup_pad))
         diag[:blk.ddw, :blk.dup] = ham.diag[0]
         diag_idx = push(jnp.asarray(diag, dtype=rdtype))[0]
-        hup_spec = enc(ham.hup[0], "right", dup_pad, nnz_up)
-        hdw_spec = enc(ham.hdw[0], "left", ddw_pad, nnz_dw)
+        f = enc_fused(ham.hup[0], ham.hdw[0], dup_pad, ddw_pad)
+        if f is not None:
+            hup_spec, hdw_spec = ("ozf",), f
+        else:
+            hup_spec = enc(ham.hup[0], "right", dup_pad, nnz_up)
+            hdw_spec = enc(ham.hdw[0], "left", ddw_pad, nnz_dw)
         blocks = ((ddw_pad, dup_pad),)
         spec = (blocks, (diag_idx,), (hup_spec,), (hdw_spec,), (),
                 str(vdtype))
@@ -735,8 +793,13 @@ def make_matvec_op(ham: SectorHamiltonian, cfg: EDConfig, pad=None):
     hdw_spec = []
     for bi, blk in enumerate(sec.blocks):
         diag_idx.append(push(jnp.asarray(ham.diag[bi], dtype=rdtype))[0])
-        hup_spec.append(enc(ham.hup[bi], "right"))
-        hdw_spec.append(enc(ham.hdw[bi], "left"))
+        f = enc_fused(ham.hup[bi], ham.hdw[bi])
+        if f is not None:
+            hup_spec.append(("ozf",))
+            hdw_spec.append(f)
+        else:
+            hup_spec.append(enc(ham.hup[bi], "right"))
+            hdw_spec.append(enc(ham.hdw[bi], "left"))
     mix_spec = []
     for t in ham.mix:
         up = enc(t.up, "right") if t.up is not None else None
@@ -777,6 +840,16 @@ def _applier(spec):
         for bi, (ddw, dup) in enumerate(blocks):
             v = V[bi]
             y = arrays[diag_idx[bi]] * v
+            if hdw_spec[bi][0] == "ozf":
+                # fused two-orientation Ozaki product (one K-concat set +
+                # one TwoSum epilogue for Hdw@V + V@HupT)
+                from . import ozaki as _oz
+                nsl, bits = hdw_spec[bi][1], hdw_spec[bi][2]
+                y = y + _oz.fused_two_sided(arrays[hdw_spec[bi][3]],
+                                            arrays[hdw_spec[bi][4]],
+                                            v, nsl, bits)
+                Y.append(y)
+                continue
             r = app(hup_spec[bi], arrays, v, "right", dup)
             if r is not None:
                 y = y + r

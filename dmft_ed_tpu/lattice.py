@@ -665,7 +665,14 @@ def wideband_leads(nlso: int, sites_l, sites_r, gamma: float,
 
 class ConvergenceMonitor:
     """err = Σ|X_new - X_old| / Σ|X_new|; converged after `nsuccess`
-    consecutive iterations below threshold."""
+    consecutive iterations below threshold.
+
+    `check` returns True ONLY on genuine convergence (DMFT_Tools
+    check_convergence semantics): loop exhaustion is the caller's
+    `iloop < nloop` guard, and an exhausted-but-unconverged loop logs an
+    explicit max-iterations warning instead of masquerading as converged
+    (the reference prints "Max number of iterations reached"). The final
+    state is exposed as `monitor.converged` / `monitor.exhausted`."""
 
     def __init__(self, threshold: float, nsuccess: int = 1,
                  nloop: int = 100):
@@ -676,6 +683,8 @@ class ConvergenceMonitor:
         self._good = 0
         self.count = 0
         self.error = np.inf
+        self.converged = False
+        self.exhausted = False
 
     def check(self, x, log=None) -> bool:
         x = np.asarray(x)
@@ -695,15 +704,21 @@ class ConvergenceMonitor:
         else:
             self._good = 0
         conv = self._good >= self.nsuccess
+        self.converged = conv
+        self.exhausted = not conv and self.count >= self.nloop
         if log:
             log(f"error={self.error:.8E}"
                 + ("  [converged]" if conv else ""))
+        if self.exhausted and log:
+            log(f"WARNING: max number of DMFT loops ({self.nloop}) "
+                f"reached without convergence (error={self.error:.8E} "
+                f"> {self.threshold:.8E})")
         try:
             with open("error.err", "a") as fh:
                 fh.write(f"{self.count} {self.error:.12E}\n")
         except OSError:
             pass
-        return conv or self.count >= self.nloop
+        return conv
 
 
 def gloc_hk_lattice(cfg: EDConfig, hk: np.ndarray, sigma_lat: np.ndarray,

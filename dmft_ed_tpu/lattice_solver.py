@@ -79,11 +79,12 @@ class LatticeEDSolver:
         for i, s in enumerate(self.solvers):
             s.diag_state = states[i]
         gfs = self._batched_gf(ubaths, slists, zetas)
+        chis = self._batched_chi(ubaths, slists, zetas)
         self.results = []
         for i, s in enumerate(self.solvers):
             self.results.append(
                 s.solve_from_spectrum(ubaths[i], slists[i], zetas[i],
-                                      gf=gfs[i]))
+                                      gf=gfs[i], chi=chis[i]))
         return self.results
 
     def _batched_gf(self, ubaths, slists, zetas):
@@ -117,6 +118,44 @@ class LatticeEDSolver:
         for meta, w, p in batch.run():
             per_site[meta["site"]].append((meta, w, p))
         return [fin(per_site[i]) for i, fin in enumerate(finalizers)]
+
+    def _batched_chi(self, ubaths, slists, zetas):
+        """Cross-site batched susceptibility pass: every enabled chi kind's
+        probe channels for ALL sites feed one ResolventBatch (site-tagged
+        metas route results back), so same-sector chains across sites run
+        as one stacked device Lanczos — the chi analogue of _batched_gf.
+        The reference distributes the per-site serial buildchi over MPI
+        ranks (ED_MAIN.f90:576-678 over ED_GF_CHI*.f90). Returns one
+        {kind: chi tuple} dict per site (None entries when no flags)."""
+        cfg = self.cfg
+        kinds = []
+        if cfg.chispin_flag:
+            kinds.append("spin")
+        if cfg.chidens_flag:
+            kinds.append("dens")
+            if cfg.norb > 1:
+                kinds.append("dens_mix")
+        if cfg.chipair_flag:
+            kinds.append("pair")
+        if not kinds:
+            return [None] * self.nineq
+        from .gf_common import HamCache, ResolventBatch
+        from .chi import chi_plan
+        batch = ResolventBatch(cfg)
+        finalizers = {}
+        for i, s in enumerate(self.solvers):
+            finite_t = cfg.finite_t or s.diag_state.lanc_nstates_total > 1
+            finite_t = finite_t and len(slists[i]) > 1
+            cache = HamCache(self.cfgs[i], ubaths[i], s.hloc, self.mesh)
+            batch.add_site(i, cache, slists[i].emin, zetas[i], finite_t)
+            for kind in kinds:
+                finalizers[(i, kind)] = chi_plan(self.cfgs[i], kind,
+                                                 slists[i], batch, site=i)
+        per_key = {k: [] for k in finalizers}
+        for meta, w, p in batch.run():
+            per_key[(meta["site"], meta["chi"])].append((meta, w, p))
+        return [{kind: finalizers[(i, kind)](per_key[(i, kind)])
+                 for kind in kinds} for i in range(self.nineq)]
 
     # stacked getters (ed_get_*_lattice, ED_IO)
     def get_sigma_matsubara(self) -> np.ndarray:

@@ -130,8 +130,9 @@ def compute_observables(cfg: EDConfig, slist: StateList, zeta: float,
     # nonsu2: in-plane magnetization and excitonic order parameters via
     # direct matrix elements M[s,s',a,b] = <c†_{a,s} c_{b,s'}> (these
     # conserve N so they are same-sector expectations)
+    Mfull = _transfer_matrix(cfg, table, slist, zeta, finite_t)
     if cfg.ed_mode == "nonsu2":
-        M = _transfer_matrix(cfg, table, slist, zeta, finite_t)
+        M = Mfull
         for a in range(norb):
             o.magx[a] = 0.5 * np.real(M[0, 1, a, a] + M[1, 0, a, a])
             o.magy[a] = 0.5 * np.real(-1j * (M[0, 1, a, a] - M[1, 0, a, a]))
@@ -143,7 +144,6 @@ def compute_observables(cfg: EDConfig, slist: StateList, zeta: float,
                 o.exct_ty[a, b] = np.real(-1j * (M[0, 1, a, b] - M[1, 0, a, b]))
 
     # impurity single-particle density matrix <c†_{a,s} c_{b,s'}>
-    Mfull = _transfer_matrix(cfg, table, slist, zeta, finite_t)
     nso = cfg.nspin * norb
     o.imp_density_matrix = Mfull.transpose(0, 2, 1, 3).reshape(nso, nso)
     return o
@@ -159,24 +159,28 @@ def _transfer_matrix(cfg: EDConfig, table, slist, zeta, finite_t,
     nl = len(levels)
     M = np.zeros((cfg.nspin, cfg.nspin, nl, nl), dtype=complex)
     for sec, vec, w in _state_weights(slist, cfg.beta, zeta, finite_t):
+        # apply each annihilator ONCE per (spin, level) — O(Nspin*nl)
+        # sector applies instead of O((Nspin*nl)^2) — then batch the
+        # pairwise overlaps per target sector as one Gram matmul
+        # (ED_OBSERVABLES.f90:519-658 computes the same matrix elements
+        # with per-pair Fock loops).
+        applied = {}
         for s in range(cfg.nspin):
-            for s2 in range(cfg.nspin):
-                if s != s2 and cfg.ed_mode != "nonsu2":
-                    continue
-                for ia, la in enumerate(levels):
-                    ra = apply_spin_op(cfg, table, sec, vec, s, la, False)
-                    if ra is None:
+            for ia, la in enumerate(levels):
+                r = apply_spin_op(cfg, table, sec, vec, s, la, False)
+                if r is not None:
+                    applied[(s, ia)] = r
+        by_target: dict = {}
+        for (s, ia), (j, wv) in applied.items():
+            by_target.setdefault(j.index, []).append((s, ia, wv))
+        for ents in by_target.values():
+            Wm = np.stack([np.asarray(wv).ravel() for _, _, wv in ents])
+            G = Wm.conj() @ Wm.T                    # [k, k] Gram matrix
+            for p, (s, ia, _) in enumerate(ents):
+                for q, (s2, ib, _) in enumerate(ents):
+                    if s != s2 and cfg.ed_mode != "nonsu2":
                         continue
-                    ja, wa = ra
-                    for ib, lb in enumerate(levels):
-                        rb = apply_spin_op(cfg, table, sec, vec, s2, lb,
-                                           False)
-                        if rb is None:
-                            continue
-                        jb, wb = rb
-                        if ja.index != jb.index:
-                            continue
-                        M[s, s2, ia, ib] += w * np.vdot(wa, wb)
+                    M[s, s2, ia, ib] += w * G[p, q]
     return M
 
 

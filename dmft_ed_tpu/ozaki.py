@@ -211,6 +211,56 @@ def matmul(A, B, nslices: int = 6, bits: int = _BITS):
     return _group_combine(groups, bits) * sa * sb
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def fused_two_sided(Hdw, HupT, V, nslices: int, bits: int = _BITS):
+    """Hdw @ V + V @ HupT as ONE K-concat Ozaki product set.
+
+    The factorized sector matvec (hamiltonian.make_matvec_op) spends its
+    FLOPs in two same-shape digit-matmul families per iteration — the dw
+    orientation (Hdw @ V) and the up orientation (V @ HupT). Both are
+    linear in V, so they merge into a single product over a doubled
+    contraction axis:
+
+        [Hdw | λV] @ [λV ; HupT] = λ (Hdw @ V + V @ HupT)
+
+    with λ a dynamic power of two equalizing the magnitude of the
+    normalized Krylov operand (|V| ~ dim^-1/2) to the Hamiltonian blocks —
+    without it the combined row/col scales are H-dominated and the digit
+    truncation error is amplified by |H|/|V| (~3 decades at headline
+    shapes). λ is exact (power of two), so the merge changes only the
+    digit decomposition, not the represented product.
+
+    Why it wins (PERF_NOTES s8 roofline): the measured XLA s8 dot rate is
+    strongly size-bound in K (160 TOPS at K=17k vs 237 at 8k^3); doubling
+    K per group moves up that curve at identical total MACs, and ONE
+    TwoSum epilogue replaces two (the epilogue was ~10% of the loop).
+    Both operand stacks are sliced per call — slicing is ~0.1 ms per
+    operand at 3432^2 vs ~14 ms of matmul (measured round 1-3), so losing
+    the cached pre-sliced H is noise.
+
+    Hdw: [ddw, ddw] f64; HupT: [dup, dup] f64 (already transposed — the
+    matvec applies V @ HupT); V: [ddw, dup] f64.
+    """
+    mh = jnp.maximum(jnp.max(jnp.abs(Hdw)), jnp.max(jnp.abs(HupT)))
+    mv = jnp.max(jnp.abs(V))
+    lam = jnp.exp2(jnp.ceil(jnp.log2(
+        jnp.where(mv > 0, jnp.where(mh > 0, mh, 1.0) / mv, 1.0))))
+    Vl = lam * V
+    L = jnp.concatenate([Hdw, Vl], axis=1)          # [ddw, ddw+dup]
+    R = jnp.concatenate([Vl, HupT], axis=0)         # [ddw+dup, dup]
+    k = L.shape[1]
+    Acat, sa = _cat_left(L, nslices, bits)
+    Bcat, sb = _cat_right(R, nslices, bits)
+    if _cat_safe(k, nslices, bits):
+        groups = _cat_groups(Acat, Bcat, nslices)
+    else:
+        Ad = [Acat[:, p * k:(p + 1) * k] for p in range(nslices)]
+        Bd = [Bcat[(nslices - 1 - q) * k:(nslices - q) * k, :]
+              for q in range(nslices)]
+        groups = _pairwise(Ad, Bd, nslices, bits)
+    return _group_combine(groups, bits) * (sa * sb / lam)
+
+
 class SlicedMatrix:
     """A pre-sliced constant LEFT operand A of A @ B (e.g. the per-spin
     Hamiltonian blocks, reused across hundreds of Lanczos iterations).

@@ -123,7 +123,7 @@ def sharded_sector_op(ham: SectorHamiltonian, cfg: EDConfig, mesh: Mesh):
 
 
 def solve_sector_sharded(cfg: EDConfig, ham: SectorHamiltonian, neigen: int,
-                         rng, mesh: Mesh):
+                         rng, mesh: Mesh, v0=None):
     """Distributed replacement of diag._solve_sector_lanczos for sectors
     above cfg.shard_dim_threshold: thick-restart Lanczos on row-sharded
     block tuples (the production path of ED_MAIN.f90:284-327 +
@@ -134,10 +134,13 @@ def solve_sector_sharded(cfg: EDConfig, ham: SectorHamiltonian, neigen: int,
     spec, arrays, blocks, sec_p, shd, shd_b = sharded_sector_op(
         ham, cfg, mesh)
     cplx = spec[-1].startswith("complex")
-    v0 = rng.normal(size=sec.dim)
-    if cplx:
-        v0 = v0 + 1j * rng.normal(size=sec.dim)
-    v0 = v0 / np.linalg.norm(v0)
+    if v0 is None:
+        v0 = rng.normal(size=sec.dim)
+        if cplx:
+            v0 = v0 + 1j * rng.normal(size=sec.dim)
+        v0 = v0 / np.linalg.norm(v0)
+    else:
+        v0 = np.asarray(v0)
     dt = jnp.complex128 if cplx else jnp.dtype(cfg.dtype)
     V0 = tuple(jax.device_put(jnp.asarray(v, dtype=dt), shd)
                for v in pad_flat_to_blocks(v0, sec, sec_p))

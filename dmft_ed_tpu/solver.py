@@ -49,6 +49,7 @@ class SolveResult:
     chi_dens: tuple = None
     chi_dens_mix: tuple = None
     chi_pair: tuple = None
+    bath_dm: np.ndarray = None    # replica-bath density matrix
 
 
 def _default_log(msg):
@@ -112,11 +113,15 @@ class EDSolver:
                 mesh=self.mesh)
         return self.solve_from_spectrum(bath, slist, zeta)
 
-    def solve_from_spectrum(self, bath, slist, zeta, gf=None) -> SolveResult:
+    def solve_from_spectrum(self, bath, slist, zeta, gf=None,
+                            chi=None) -> SolveResult:
         """GF/observables/files pipeline given a precomputed spectrum
         (used by the site-batched lattice path). `gf`: optional
         precomputed (Gmats, Greal) from a cross-site batched GF pass
-        (LatticeEDSolver), skipping the per-site Krylov build."""
+        (LatticeEDSolver), skipping the per-site Krylov build. `chi`:
+        optional dict {kind: chi tuple} from the cross-site batched chi
+        pass (kinds 'spin'/'dens'/'dens_mix'/'pair'), skipping the
+        per-site chi Krylov builds."""
         cfg = self.cfg
         res = SolveResult()
         finite_t = cfg.finite_t or self.diag_state.lanc_nstates_total > 1
@@ -152,24 +157,26 @@ class EDSolver:
         # --- susceptibilities
         if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag:
             from . import chi as chi_mod
+            chi = chi or {}
             if cfg.chispin_flag:
-                res.chi_spin = chi_mod.build_chi_spin(
+                res.chi_spin = chi.get("spin") or chi_mod.build_chi_spin(
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
                     mesh=self.mesh)
                 edio.write_chi(cfg, "spinChi", *res.chi_spin, self.suffix)
             if cfg.chidens_flag:
-                res.chi_dens = chi_mod.build_chi_dens(
+                res.chi_dens = chi.get("dens") or chi_mod.build_chi_dens(
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
                     mesh=self.mesh)
                 edio.write_chi(cfg, "densChi", *res.chi_dens, self.suffix)
                 if cfg.norb > 1:
-                    res.chi_dens_mix = chi_mod.build_chi_dens_mix(
-                        cfg, slist, zeta, bath, self.hloc, finite_t,
-                        self.log, mesh=self.mesh)
+                    res.chi_dens_mix = chi.get("dens_mix") or \
+                        chi_mod.build_chi_dens_mix(
+                            cfg, slist, zeta, bath, self.hloc, finite_t,
+                            self.log, mesh=self.mesh)
                     edio.write_chi(cfg, "densChi_mix", *res.chi_dens_mix,
                                    self.suffix)
             if cfg.chipair_flag:
-                res.chi_pair = chi_mod.build_chi_pair(
+                res.chi_pair = chi.get("pair") or chi_mod.build_chi_pair(
                     cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
                     mesh=self.mesh)
                 edio.write_chi(cfg, "pairChi", *res.chi_pair, self.suffix)
@@ -207,6 +214,30 @@ class EDSolver:
         if rho is not None:
             np.savetxt(f"imp_density_matrix{self.suffix}.ed",
                        np.column_stack([rho.real, rho.imag]), fmt="%18.12f")
+        if cfg.bath_type == "replica":
+            # bath density matrix, replica baths only
+            # (ED_OBSERVABLES.f90:591-658 computes bth_density_matrix under
+            # the same gate); written as one (s,s',a,b) row per bath copy
+            from .observables import bath_density_matrix
+            with self.timers("bath_dm"):
+                res.bath_dm = bath_density_matrix(cfg, slist, zeta, finite_t)
+            try:
+                bdm = res.bath_dm
+                with open(f"bath_density_matrix{self.suffix}.ed", "w") as fh:
+                    fh.write("# ibath ispin jspin iorb jorb Re Im\n")
+                    for k in range(cfg.nbath):
+                        for s in range(cfg.nspin):
+                            for s2 in range(cfg.nspin):
+                                for a in range(cfg.norb):
+                                    for b2 in range(cfg.norb):
+                                        v = bdm[s, s2, a, b2, k]
+                                        fh.write(
+                                            f"{k + 1:4d} {s + 1:2d} "
+                                            f"{s2 + 1:2d} {a + 1:2d} "
+                                            f"{b2 + 1:2d} {v.real:18.12f} "
+                                            f"{v.imag:18.12f}\n")
+            except OSError:
+                pass
         if cfg.ed_verbose >= 2 and self.log:
             self.log(self.timers.report())
         if self.log:
@@ -274,6 +305,12 @@ class EDSolver:
         """[Nso, Nso] impurity single-particle density matrix
         (ed_get_density_matrix, ED_IO)."""
         return self.result.observables.imp_density_matrix
+
+    def get_bath_density_matrix(self):
+        """[Nspin, Nspin, Norb, Norb, Nbath] replica-bath density matrix
+        (bth_density_matrix, ED_OBSERVABLES.f90:591-658); None unless
+        bath_type='replica'."""
+        return self.result.bath_dm
 
     def get_quantum_soc_operators(self):
         """<S>, <L>, <J>, <J^2>, <L.S> of the t2g impurity shell from the

@@ -121,3 +121,64 @@ def test_chi0_static_vs_lindhard():
     q = np.array([[0.0]])
     cq = chi0_q_static(cfg, gij7, pos, q)
     np.testing.assert_allclose(cq[0, 0], chi0.sum() / n, atol=1e-10)
+
+
+def test_convergence_monitor_exhaustion_not_converged():
+    """An exhausted DMFT loop must NOT report converged=True: check()
+    returns only genuine convergence (DMFT_Tools check_convergence
+    semantics); loop exhaustion is exposed separately as .exhausted with a
+    max-iterations warning. Regression: round-3 `check` returned
+    `conv or count >= nloop`, so e2e drivers stored converged=True with
+    errors far above dmft_error."""
+    from dmft_ed_tpu.lattice import ConvergenceMonitor
+
+    mon = ConvergenceMonitor(threshold=1e-10, nsuccess=1, nloop=3)
+    logs = []
+    rng = np.random.default_rng(0)
+    stop = False
+    it = 0
+    while not stop and it < mon.nloop:
+        it += 1
+        stop = mon.check(rng.normal(size=8), log=logs.append)
+    assert it == 3
+    assert stop is False
+    assert mon.converged is False
+    assert mon.exhausted is True
+    assert any("WARNING" in m and "max number" in m.lower() for m in logs)
+
+    # and a genuinely converging sequence still reports converged
+    mon2 = ConvergenceMonitor(threshold=1e-6, nsuccess=2, nloop=10)
+    x = np.ones(4)
+    flags = [mon2.check(x) for _ in range(4)]
+    assert flags == [False, False, True, True]
+    assert mon2.converged is True
+    assert mon2.exhausted is False
+
+
+def test_chiexct_flag_errors_loudly():
+    with pytest.raises(ValueError, match="chiexct"):
+        EDConfig(norb=1, nbath=2, chiexct_flag=True).validate()
+
+
+def test_bath_density_matrix_wired_into_solve(tmp_path, monkeypatch):
+    """A replica-bath solve must compute the bath density matrix and write
+    bath_density_matrix.ed (ED_OBSERVABLES.f90:591-658 computes it under
+    the bath_type=='replica' gate)."""
+    monkeypatch.chdir(tmp_path)
+    from dmft_ed_tpu.solver import EDSolver
+
+    cfg = EDConfig(norb=1, nbath=2, nspin=1, uloc=(1.0,),
+                   bath_type="replica", beta=20.0, lmats=8, lreal=4,
+                   ed_verbose=0, lanc_dim_threshold=10 ** 6).validate()
+    hloc = np.zeros((1, 1, 1, 1))
+    solver = EDSolver(cfg, hloc)
+    bath = solver.init_solver()
+    res = solver.solve(bath)
+    assert res.bath_dm is not None
+    assert res.bath_dm.shape == (1, 1, 1, 1, 2)
+    # hermiticity in (s,a) <-> (s',b) and real diagonal occupation in [0,2]
+    assert np.allclose(res.bath_dm[0, 0, 0, 0].imag, 0.0, atol=1e-10)
+    occ = res.bath_dm[0, 0, 0, 0].real
+    assert np.all((occ > -1e-9) & (occ < 2 + 1e-9))
+    assert (tmp_path / "bath_density_matrix.ed").exists()
+    assert solver.get_bath_density_matrix() is res.bath_dm

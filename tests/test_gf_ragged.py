@@ -125,3 +125,30 @@ def test_ragged_sector_sweep_vs_dense(monkeypatch):
     sec1 = sorted(s.sector.qn for s in slist)
     sec0 = sorted(s.sector.qn for s in slist_d)
     assert sec1 == sec0
+
+
+def test_ragged_sweep_kanamori_jx_jp(monkeypatch):
+    """Multi-orbital Kanamori with spin-exchange/pair-hopping: Jx/Jp add
+    MixTerms inside single-block normal sectors (Hint.f90 Jhflag), so the
+    route plan must NOT send these sectors down the padded ragged path
+    (which requires a mix-free single block). Regression: round-3 struct_mix
+    only checked Tud/P and diagonalize crashed under DMFT_ED_RAGGED=1."""
+    monkeypatch.setenv("DMFT_ED_RAGGED", "1")
+    cfg = EDConfig(norb=2, nbath=2, nspin=2, uloc=(1.8, 1.8), ust=0.9,
+                   jh=0.3, jx=0.25, jp=0.25, beta=30.0, lmats=8, lreal=4,
+                   lanc_dim_threshold=40, lanc_nstates_sector=2,
+                   xmu=0.9).validate()
+    rng = np.random.default_rng(5)
+    bath = Bath(cfg)
+    bath.e[:] = rng.normal(size=bath.e.shape) * 0.6
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    hloc = np.zeros((2, 2, 2, 2))
+    hloc[0, 0] = hloc[1, 1] = np.diag([0.2, -0.2])
+
+    slist, zeta, _ = diagonalize(cfg, bath, hloc, None)  # must not raise
+    cfg_d = cfg.replace(lanc_dim_threshold=10 ** 9)
+    slist_d, _, _ = diagonalize(cfg_d, bath, hloc, None)
+    e1 = sorted(s.energy for s in slist)
+    e0 = sorted(s.energy for s in slist_d)
+    assert len(e1) == len(e0)
+    np.testing.assert_allclose(e1, e0, rtol=0, atol=5e-8)

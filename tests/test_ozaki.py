@@ -171,3 +171,64 @@ def test_ozaki_dmft_physics_impact():
     np.testing.assert_allclose(t_oz.docc, t_f64.docc, atol=1e-10)
     np.testing.assert_allclose(t_oz.smats[0, 0, 0, 0, 0],
                                t_f64.smats[0, 0, 0, 0, 0], atol=1e-8)
+
+
+def test_fused_two_sided_matmul():
+    """ozaki.fused_two_sided: [Hdw | lam*V] @ [lam*V; HupT] must equal
+    Hdw@V + V@HupT to the digit-truncation class, including when |V| is
+    orders below |H| (the normalized-Krylov regime the lambda equalizer
+    exists for)."""
+    rng = np.random.default_rng(3)
+    for (m, k), vscale in [((120, 80), 1.0), ((90, 90), 1e-5)]:
+        Hdw = rng.normal(size=(m, m)) * 4
+        HupT = rng.normal(size=(k, k)) * 4
+        V = rng.normal(size=(m, k)) * vscale
+        exact = Hdw @ V + V @ HupT
+        for ns, bits in [(5, 7), (6, 6)]:
+            got = np.asarray(ozaki.fused_two_sided(
+                jnp.asarray(Hdw), jnp.asarray(HupT), jnp.asarray(V),
+                ns, bits))
+            rel = np.max(np.abs(got - exact)) / np.max(np.abs(exact))
+            assert rel < 3e-9, (m, k, vscale, ns, bits, rel)
+
+
+@pytest.mark.parametrize("prec", ["ozaki5x7"])
+def test_matvec_op_fused_vs_native(prec, monkeypatch):
+    """make_matvec_op with DMFT_ED_OZAKI_FUSED=1 (default) encodes the
+    single-block spin parts as ONE fused two-orientation product ('ozf'
+    spec) and matches the native-f64 matvec; =0 restores the separate
+    pre-sliced products with identical results."""
+    from dmft_ed_tpu.hamiltonian import make_matvec_op, apply_op
+    from dmft_ed_tpu import device as dev_mod
+
+    cfg = EDConfig(norb=1, nbath=6, nspin=1, uloc=(2.0,),
+                   matmul_precision=prec).validate()
+    rng = np.random.default_rng(4)
+    bath = Bath(cfg)
+    bath.e[:] = np.linspace(-1, 1, cfg.nbath)[None, None, :]
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 1, 1))
+    sec = sector_table(cfg).get(3, 4)
+    ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+    x = rng.normal(size=sec.dim)
+    x /= np.linalg.norm(x)
+    V = unflatten_blocks(jnp.asarray(x), sec)
+
+    spec_n, arr_n, _ = make_matvec_op(ham, cfg.replace(
+        matmul_precision="native"))
+    y_ref = np.asarray(flatten_blocks(apply_op(spec_n, arr_n, V)))
+
+    dev_mod.ozaki_fused.cache_clear()
+    monkeypatch.setenv("DMFT_ED_OZAKI_FUSED", "1")
+    spec_f, arr_f, _ = make_matvec_op(ham, cfg)
+    assert any(s[0] == "ozf" for s in spec_f[3]), spec_f[3]
+    y_f = np.asarray(flatten_blocks(apply_op(spec_f, arr_f, V)))
+    np.testing.assert_allclose(y_f, y_ref, atol=3e-9 * np.max(np.abs(y_ref)))
+
+    dev_mod.ozaki_fused.cache_clear()
+    monkeypatch.setenv("DMFT_ED_OZAKI_FUSED", "0")
+    spec_s, arr_s, _ = make_matvec_op(ham, cfg)
+    assert all(s[0] != "ozf" for s in spec_s[3])
+    y_s = np.asarray(flatten_blocks(apply_op(spec_s, arr_s, V)))
+    np.testing.assert_allclose(y_s, y_ref, atol=3e-9 * np.max(np.abs(y_ref)))
+    dev_mod.ozaki_fused.cache_clear()

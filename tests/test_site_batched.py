@@ -184,3 +184,97 @@ def test_cross_site_batched_gf_nonsu2(tmp_path, monkeypatch):
         gm, gr = build_gf_nonsu2(cfg, sl, z, ub, s.hloc, finite_t)
         np.testing.assert_allclose(results[i].gmats, gm, atol=1e-10)
         np.testing.assert_allclose(results[i].greal, gr, atol=1e-10)
+
+
+def test_diagonalize_sites_finite_t_post_diag(tmp_path, monkeypatch):
+    """Finite-T lattice equivalence: the batched site sweep must run the
+    FULL per-site post-diag machinery (Boltzmann trimming, neigen_sector
+    feedback, lanc_nstates_total auto-tuning, eigenvalues/histogram files;
+    ED_DIAG.f90:445-566) and track the per-site `diagonalize` loop
+    including the DiagState evolution across 2 DMFT iterations."""
+    import copy
+    from dmft_ed_tpu.diag import DiagState
+
+    monkeypatch.chdir(tmp_path)
+    cfg = EDConfig(norb=1, nbath=3, nspin=1, uloc=(2.0,), beta=5.0,
+                   lanc_nstates_total=12, lanc_nstates_sector=4,
+                   cutoff=1e-6, lanc_dim_threshold=10 ** 9).validate()
+    rng = np.random.default_rng(42)
+    nsites = 2
+    baths, hlocs = [], []
+    for i in range(nsites):
+        b = Bath(cfg)
+        b.e[:] = np.sort(rng.normal(size=b.e.shape), axis=-1)
+        b.v[:] = rng.uniform(0.3, 0.8, size=b.v.shape)
+        baths.append(b)
+        h = np.zeros((1, 1, 1, 1))
+        h[0, 0, 0, 0] = rng.normal() * 0.4
+        hlocs.append(h)
+
+    # --- batched path, 2 iterations carrying DiagState
+    st_b = [None] * nsites
+    for _ in range(2):
+        sl_b, z_b, st_b = diagonalize_sites(cfg, baths, hlocs, states=st_b)
+    # per-site eigenvalues/histogram files written with _ineq suffixes
+    assert (tmp_path / "eigenvalues_list_ineq0001.ed").exists()
+    assert (tmp_path / "histogram_states_ineq0001.ed").exists()
+
+    # --- per-site reference path (same suffixes -> same restart masks)
+    sl_r, z_r, st_r = [], [], []
+    for i in range(nsites):
+        st = None
+        for _ in range(2):
+            sl, z, st = diagonalize(cfg, baths[i], hlocs[i], st,
+                                    suffix=f"_ref{i:04d}")
+        sl_r.append(sl)
+        z_r.append(z)
+        st_r.append(st)
+
+    for i in range(nsites):
+        assert len(sl_b[i]) == len(sl_r[i]), i
+        np.testing.assert_allclose(
+            sorted(s.energy for s in sl_b[i]),
+            sorted(s.energy for s in sl_r[i]), atol=1e-10)
+        np.testing.assert_allclose(z_b[i], z_r[i], rtol=1e-12)
+        # the DiagState evolution (the adaptive machinery) must match
+        assert st_b[i].lanc_nstates_total == st_r[i].lanc_nstates_total, i
+        assert st_b[i].neigen_sector == st_r[i].neigen_sector, i
+
+
+def test_cross_site_batched_chi_matches_per_site(tmp_path, monkeypatch):
+    """LatticeEDSolver's cross-site batched chi pass (one ResolventBatch
+    with site-tagged probe channels) == per-site build_chi_* exactly."""
+    from dmft_ed_tpu.chi import (build_chi_spin, build_chi_dens,
+                                 build_chi_dens_mix, build_chi_pair)
+    from dmft_ed_tpu.lattice_solver import LatticeEDSolver
+
+    monkeypatch.chdir(tmp_path)
+    cfg = EDConfig(norb=2, nbath=2, nspin=1, uloc=(1.5, 1.2), ust=0.6,
+                   beta=40.0, lmats=16, lreal=8, ltau=20,
+                   chispin_flag=True, chidens_flag=True, chipair_flag=True,
+                   lanc_dim_threshold=4096, ed_print_sigma=False,
+                   ed_print_g=False, ed_print_g0=False).validate()
+    rng = np.random.default_rng(17)
+    nsites = 3
+    hloc_ineq = np.zeros((nsites, 1, 1, 2, 2))
+    for i in range(nsites):
+        hloc_ineq[i, 0, 0] = np.diag(rng.normal(size=2) * 0.3)
+    lsolver = LatticeEDSolver(cfg, hloc_ineq, log=lambda m: None)
+    baths = lsolver.init_solvers()
+    for i in range(nsites):
+        baths[i] += 0.05 * rng.normal(size=baths[i].shape)
+    results = lsolver.solve(baths, batched=True)
+    for i, s in enumerate(lsolver.solvers):
+        ub = unpack_bath(cfg, baths[i], s.mask)
+        sl, z, _ = diagonalize(cfg, ub, s.hloc, None)
+        finite_t = (cfg.finite_t or s.diag_state.lanc_nstates_total > 1) \
+            and len(sl) > 1
+        for kind, fn, got in (
+                ("spin", build_chi_spin, results[i].chi_spin),
+                ("dens", build_chi_dens, results[i].chi_dens),
+                ("dens_mix", build_chi_dens_mix, results[i].chi_dens_mix),
+                ("pair", build_chi_pair, results[i].chi_pair)):
+            ref = fn(cfg, sl, z, ub, s.hloc, finite_t)
+            for a, b in zip(got, ref):
+                np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10,
+                                           err_msg=f"site {i} chi {kind}")
