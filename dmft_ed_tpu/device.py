@@ -91,11 +91,17 @@ def ragged_batching(total_elems: int, dtype=None) -> bool:
 def ozaki_fused() -> bool:
     """Whether the two-orientation fused Ozaki matvec (ozaki.fused_two_sided:
     [Hdw | λV] @ [λV; HupT], one K-concat product set + one TwoSum epilogue
-    per iteration) encodes in make_matvec_op. Default on — same MACs,
-    higher size-bound s8 rate and half the epilogue; kill-switch
-    DMFT_ED_OZAKI_FUSED=0 restores the two separate pre-sliced products."""
-    return os.environ.get("DMFT_ED_OZAKI_FUSED", "1").lower() \
-        not in ("0", "off", "never")
+    per iteration) encodes in make_matvec_op. Default OFF — measured on the
+    v5e headline loop (round 4): 7.49e9 vs 1.095e10 nnz/s for the separate
+    pre-sliced products, i.e. the fusion LOSES 1.46x despite identical MACs
+    and a halved epilogue. The deficit is the per-iteration operand
+    rebuild: both concatenated f64 operands (~380 MB) and both int8 digit
+    stacks (~240 MB) are rematerialized every call (HBM-traffic-bound),
+    where the separate path digit-slices H once per sector and streams
+    only V's digits. Opt in with DMFT_ED_OZAKI_FUSED=1 (accuracy is the
+    same ~1e-10 class — see test_ozaki.py)."""
+    return os.environ.get("DMFT_ED_OZAKI_FUSED", "0").lower() \
+        in ("1", "on", "always")
 
 
 def _holds(dev, dtype) -> bool:

@@ -215,7 +215,8 @@ def _delta_target_from_weiss(cfg: EDConfig, g0, x, hloc) -> np.ndarray:
 def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
                      ispin: Optional[int] = None, iorb: Optional[int] = None,
                      fgs_an=None, masks=None, cfgs=None, suffixes=None,
-                     log=None, save: bool = True) -> np.ndarray:
+                     log=None, save: bool = True,
+                     precondition: bool = True) -> np.ndarray:
     """Joint bath fit over N inequivalent sites (the lattice fit stage,
     ED_FIT_CHI2.f90 lattice variants).
 
@@ -314,11 +315,14 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
     opts = {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol * 1e-3,
             "gtol": 1e-12}
     bnd = _param_bound(xw)
-    if cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
+    if precondition and cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
         # two-stage weiss fit (see chi2_fitgf): Δ-target pre-conditioning
         # pass (collapse-free landscape), then polish on the true weiss
         # objective — the weiss minimum is the one the DMFT fixed point
-        # needs for inexact small-Nbath fits.
+        # needs for inexact small-Nbath fits. Cold starts only inside a
+        # DMFT loop (LatticeEDSolver passes precondition on the first
+        # fit): per-iteration preconditioning breaks warm-start
+        # continuity near the fixed point (see chi2_fitgf docstring).
         dts = np.stack([_delta_target_from_weiss(
             cfg, np.asarray(tgts[i]), np.asarray(x), hlocs[i])
             for i in range(S)])
@@ -349,7 +353,7 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
                                 fg_an=None if fgs_an is None
                                 else np.asarray(fgs_an[i]),
                                 mask=masks[i], suffix=suffixes[i], log=log,
-                                save=save)
+                                save=save, precondition=precondition)
             continue
         p_fit = {k: np.asarray(v[i]) for k, v in base_ps.items()}
         upd = inject(jnp.asarray(xmat[i]))
@@ -379,10 +383,20 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
                hloc: np.ndarray, ispin: Optional[int] = None,
                iorb: Optional[int] = None, fg_an=None,
                mask=None, suffix: str = "", log=None,
-               save: bool = True) -> np.ndarray:
+               save: bool = True, precondition: bool = True) -> np.ndarray:
     """Fit the bath to the target function fg [Nspin,Nspin,Norb,Norb,Lmats]
     (Weiss field if cg_scheme='weiss', hybridization Δ if 'delta';
     fg_an: anomalous target for ed_mode='superc').
+
+    precondition: run the Δ-target pre-conditioning pass before the weiss
+    polish (see below). Callers inside a DMFT loop should pass True only
+    on the FIRST (cold-start) fit — EDSolver.chi2_fitgf does — because
+    re-preconditioning every iteration drags the warm start to the delta
+    minimum first, and near the fixed point that composition hops between
+    near-degenerate basins (measured: the 2-band hybrid square loop
+    wobbles at 6e-3..9e-2 with per-iteration preconditioning and
+    converges monotonically to 4e-4 on pure warm starts). The reference
+    is warm-start-only in weiss space (fitgf_normal_normal.f90:86-107).
 
     Returns the updated flat bath vector (ed_chi2_fitgf)."""
     b = unpack_bath(cfg, bath_flat, mask)
@@ -430,7 +444,7 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
             "gtol": 1e-12}
     bnd = _param_bound(xw)
 
-    if cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
+    if precondition and cfg.cg_scheme == "weiss" and cfg.ed_mode != "superc":
         # The weiss chi^2 landscape has V_k -> 0 collapse minima: an
         # (insulating-like) target G0 ~ 1/(iw) is matched EXACTLY by a
         # decoupled bath, and that basin carries a near-degenerate manifold
@@ -442,7 +456,8 @@ def chi2_fitgf(cfg: EDConfig, fg, bath_flat: np.ndarray,
         # (small-Nbath) bath the weiss and delta minima genuinely differ
         # (weiss weights the low-frequency region the DMFT fixed point is
         # most sensitive to). Matches fitgf_normal_normal.f90:326-335
-        # semantics (weiss-space minimum) with a robust start.
+        # semantics (weiss-space minimum) with a robust start; inside a
+        # DMFT loop this pass runs on the COLD start only (see docstring).
         # (Round-3 regression note: fitting ONLY the Δ target shifted the
         # fixed point of small-bath loops — square-flake/soc_ineq e2e.)
         dt = _delta_target_from_weiss(cfg, np.asarray(tgt), np.asarray(x),

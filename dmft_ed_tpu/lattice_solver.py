@@ -208,9 +208,12 @@ class LatticeEDSolver:
         """Joint block-separable fit over sites (fit.chi2_fitgf_sites):
         one L-BFGS whose objective evaluates every site in one vmap."""
         from .fit import chi2_fitgf_sites
+        first = not getattr(self, "_fit_ran", False)
+        self._fit_ran = True
         return chi2_fitgf_sites(
             self.cfg, weiss_ineq, baths, [s.hloc for s in self.solvers],
             ispin=ispin, fgs_an=fg_an_ineq,
             masks=[s.mask for s in self.solvers], cfgs=self.cfgs,
             suffixes=[s.suffix for s in self.solvers],
-            log=self.solvers[0].log if self.cfg.ed_verbose > 0 else None)
+            log=self.solvers[0].log if self.cfg.ed_verbose > 0 else None,
+            precondition=first)

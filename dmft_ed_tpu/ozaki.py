@@ -230,13 +230,16 @@ def fused_two_sided(Hdw, HupT, V, nslices: int, bits: int = _BITS):
     shapes). λ is exact (power of two), so the merge changes only the
     digit decomposition, not the represented product.
 
-    Why it wins (PERF_NOTES s8 roofline): the measured XLA s8 dot rate is
-    strongly size-bound in K (160 TOPS at K=17k vs 237 at 8k^3); doubling
-    K per group moves up that curve at identical total MACs, and ONE
-    TwoSum epilogue replaces two (the epilogue was ~10% of the loop).
-    Both operand stacks are sliced per call — slicing is ~0.1 ms per
-    operand at 3432^2 vs ~14 ms of matmul (measured round 1-3), so losing
-    the cached pre-sliced H is noise.
+    Measured OUTCOME (v5e headline loop, round 4): 7.49e9 nnz/s vs
+    1.095e10 for the two separate pre-sliced products — the fusion LOSES
+    1.46x despite identical MACs, one epilogue instead of two, and the
+    doubled contraction axis (the s8 rate is size-bound in K, 160 TOPS at
+    K=17k vs 237 at 8k^3, which motivated the experiment). The deficit is
+    HBM traffic: both concatenated f64 operands (~380 MB) and both int8
+    digit stacks (~240 MB) rematerialize EVERY iteration here, while the
+    separate path slices H once per sector and streams only V's digits.
+    Kept as an opt-in (device.ozaki_fused, DMFT_ED_OZAKI_FUSED=1) and as
+    the measured record of the orientation-fusion dead end.
 
     Hdw: [ddw, ddw] f64; HupT: [dup, dup] f64 (already transposed — the
     matvec applies V @ HupT); V: [ddw, dup] f64.

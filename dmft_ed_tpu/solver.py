@@ -252,9 +252,15 @@ class EDSolver:
     def chi2_fitgf(self, fg, bath_flat: np.ndarray, ispin=None, iorb=None,
                    fg_an=None) -> np.ndarray:
         from .fit import chi2_fitgf
+        # Δ-target pre-conditioning on the COLD start only; later
+        # iterations polish the warm start in weiss space like the
+        # reference's warm CG (see fit.chi2_fitgf docstring)
+        first = not getattr(self, "_fit_ran", False)
+        self._fit_ran = True
         return chi2_fitgf(self.cfg, fg, bath_flat, self.hloc, ispin=ispin,
                           iorb=iorb, fg_an=fg_an, mask=self.mask,
-                          suffix=self.suffix, log=self.log)
+                          suffix=self.suffix, log=self.log,
+                          precondition=first)
 
     # ------------------------------------------------------------------
     def read_sigma(self):
