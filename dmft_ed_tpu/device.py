@@ -92,14 +92,16 @@ def ozaki_fused() -> bool:
     """Whether the two-orientation fused Ozaki matvec (ozaki.fused_two_sided:
     [Hdw | λV] @ [λV; HupT], one K-concat product set + one TwoSum epilogue
     per iteration) encodes in make_matvec_op. Default OFF — measured on the
-    v5e headline loop (round 4): 7.49e9 vs 1.095e10 nnz/s for the separate
-    pre-sliced products, i.e. the fusion LOSES 1.46x despite identical MACs
-    and a halved epilogue. The deficit is the per-iteration operand
-    rebuild: both concatenated f64 operands (~380 MB) and both int8 digit
-    stacks (~240 MB) are rematerialized every call (HBM-traffic-bound),
-    where the separate path digit-slices H once per sector and streams
-    only V's digits. Opt in with DMFT_ED_OZAKI_FUSED=1 (accuracy is the
-    same ~1e-10 class — see test_ozaki.py)."""
+    v5e headline loop (round 4): 1.024e10 vs 1.447e10 nnz/s for the
+    separate pre-sliced products (with the fast f32-native slicing; with
+    the old emulated-f64 slicing: 7.49e9 vs 1.095e10), i.e. the fusion
+    LOSES ~1.4x despite identical MACs and a halved epilogue. The deficit
+    is the per-iteration operand rebuild: both concatenated f64 operands
+    (~380 MB) and both int8 digit stacks (~240 MB) are rematerialized
+    every call (HBM-traffic-bound), where the separate path digit-slices H
+    once per sector and streams only V's digits. Opt in with
+    DMFT_ED_OZAKI_FUSED=1 (accuracy is the same ~1e-10 class — see
+    test_ozaki.py)."""
     return os.environ.get("DMFT_ED_OZAKI_FUSED", "0").lower() \
         in ("1", "on", "always")
 

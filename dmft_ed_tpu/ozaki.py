@@ -82,13 +82,29 @@ def parse_precision(s: str):
     return nslices, bits
 
 
-def _row_scales(A, axis):
-    """Power-of-two scale per row/col so the scaled values lie in
-    [-1/2, 1/2] — one power of two above the max, which caps every digit
-    (leading included) at 2^{bits-1} under round-to-nearest."""
-    m = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.where(m > 0, m, 1.0)))
-    return jnp.exp2(e + 1.0)
+def _pow2_f32(e):
+    """2^e as EXACT f32 via the exponent bit field (no exp2 transcendental
+    — see _digits_list's exactness note). e: int32 array, clipped to the
+    normal range."""
+    eb = (jnp.clip(e + 127, 1, 254).astype(jnp.int32)) << 23
+    return jax.lax.bitcast_convert_type(eb, jnp.float32)
+
+
+def _ceil_log2_f32(m):
+    """ceil(log2(m)) for m >= 0 f32, exactly, from the IEEE bit fields
+    (m == 0 maps to the minimum exponent — its digits vanish anyway)."""
+    b = jax.lax.bitcast_convert_type(m, jnp.int32)
+    expo = ((b >> 23) & 0xFF) - 127
+    frac = b & 0x7FFFFF
+    return expo + (frac != 0).astype(jnp.int32)
+
+
+def _two_sum_f32(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (native f32 ops)."""
+    s = a + b
+    bp = s - a
+    err = (a - (s - bp)) + (b - bp)
+    return s, err
 
 
 def slice_digits(A, nslices: int, axis: int, bits: int = _BITS):
@@ -105,16 +121,47 @@ def slice_digits(A, nslices: int, axis: int, bits: int = _BITS):
 
 def _digits_list(A, nslices: int, scale_axis, bits: int = _BITS):
     """Digit slices of A in A's own layout (no transposes), scales constant
-    along `scale_axis` (0: per-column scales, 1: per-row scales)."""
-    scales = _row_scales(A, axis=scale_axis)
-    r = A / scales
+    along `scale_axis` (0: per-column scales, 1: per-row scales).
+
+    EXACTNESS (TPU): the extraction uses ONLY native f32 arithmetic, exact
+    casts and integer bit fields — never an emulated-f64 elementwise chain.
+    Measured on the axon v5e backend (round 4), emulated f64 is ~2-ulp
+    pair arithmetic (even x/4 is inexact on ~1/3 of inputs) and its
+    round() collapses per-word at ties (round(-50.50000109) -> -50), which
+    corrupted the old f64 residual chain on ~3e-6 of entries — digit
+    reconstruction errors up to 2^-25 and occasional int8 WRAPS that put
+    the on-device ozaki5x7 matmul at 7.9e-4 instead of ~1e-9 at 3432^3.
+    Here: x splits into two exact f32 words (bits 1-24 via an exact cast,
+    bits 25-48 via one Sterbenz-exact f64 subtract whose ~2^-51 device
+    slop sits far below the 36-bit digit target), the per-level remainder
+    is carried as an exact f32 TwoSum pair, every subtract is exact by
+    construction, and digits are clipped so no corner case can ever wrap
+    int8. Power-of-two scales come from IEEE exponent fields, not
+    log2/exp2 approximations.
+    """
+    A = jnp.asarray(A)
+    a32 = A.astype(jnp.float32)                    # exact cast (measured)
+    m = jnp.max(jnp.abs(a32), axis=scale_axis, keepdims=True)
+    E = _ceil_log2_f32(m) + 1                      # scale exponent, int32
+    inv = _pow2_f32(-E)
+    u1 = a32 * inv                                 # exact f32 pow2 scale
+    S64 = _pow2_f32(E).astype(jnp.float64)
+    # second word: bits 25-48 of A/S (the true difference is exactly
+    # representable — Sterbenz — so the device's few-ulp f64 slop only
+    # touches bits ~51+, below the nslices*bits <= 49 target)
+    u2 = (A - u1.astype(jnp.float64) * S64).astype(jnp.float32) * inv
+    stepB = np.float32(2.0 ** bits)
+    t, c = u1, u2
     digits = []
     for p in range(nslices):
-        step = jnp.exp2(float(bits * (p + 1)))
-        q = jnp.round(r * step)
-        digits.append(q.astype(jnp.int8))
-        r = r - q / step
-    return digits, scales
+        y = t * stepB                              # exact: |y| <= 2^{B-1}
+        cB = c * stepB
+        s, e2 = _two_sum_f32(y, cB)
+        q = jnp.round(s)                           # native f32 round
+        d = s - q                                  # exact (|d| <= 1/2 + eps)
+        t, c = _two_sum_f32(d, e2)
+        digits.append(jnp.clip(q, -127.0, 127.0).astype(jnp.int8))
+    return digits, S64
 
 
 def _cat_left(A, nslices: int, bits: int):
@@ -165,9 +212,10 @@ def _cat_groups(Acat, Bcat, nslices: int):
 
 def _cat_safe(k: int, nslices: int, bits: int = _BITS) -> bool:
     """Worst-case exactness of the concatenated int32 group sums: every
-    digit is ≤ D = 2^{bits-1} (the [-1/2, 1/2] scaling bounds the leading
-    digit too), so group s = P-1 sums (P·k) products each ≤ D²."""
-    dmax = 1 << (bits - 1)
+    digit is ≤ D = 2^{bits-1}+1 (the [-1/2, 1/2] scaling bounds the
+    leading digit at 2^{bits-1}; +1 covers a near-tie round in the f32
+    extraction), so group s = P-1 sums (P·k) products each ≤ D²."""
+    dmax = (1 << (bits - 1)) + 1
     return nslices * k * dmax * dmax < _INT32_LIM
 
 
@@ -179,7 +227,7 @@ def _pairwise(Ad, Bd_T, nslices: int, bits: int):
     exact while D²·k < 2^31; beyond that the contraction axis is chunked
     and each exact chunk product enters the pair separately."""
     k = Ad[0].shape[1]
-    dmax = 1 << (bits - 1)
+    dmax = (1 << (bits - 1)) + 1
     kmax = int(_INT32_LIM // (dmax * dmax)) - 1
     bounds = list(range(0, k, kmax)) + [k] if k > kmax else [0, k]
     pairs = []

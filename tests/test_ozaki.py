@@ -232,3 +232,37 @@ def test_matvec_op_fused_vs_native(prec, monkeypatch):
     y_s = np.asarray(flatten_blocks(apply_op(spec_s, arr_s, V)))
     np.testing.assert_allclose(y_s, y_ref, atol=3e-9 * np.max(np.abs(y_ref)))
     dev_mod.ozaki_fused.cache_clear()
+
+
+def test_digit_extraction_exactness_properties():
+    """The digit extraction must be robust WITHOUT exact f64 elementwise
+    arithmetic (the TPU backend's emulated f64 is ~2-ulp pair arithmetic
+    whose round() collapses per-word at ties — measured round 4, see
+    _digits_list): digits bounded (never near the int8 wrap), and the
+    truncated reconstruction exact to the 2^{-bits*P} class, including on
+    adversarial near-tie inputs."""
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        rng.normal(size=4000) * np.exp(rng.normal(size=4000) * 6),
+        # f32-boundary adversarial: x = (n + 1/2 + eps) * 2^-24 patterns
+        (rng.integers(-2**23, 2**23, 2000) + 0.5) * 2.0 ** -24,
+        (rng.integers(-2**23, 2**23, 2000)
+         + rng.normal(0, 1e-8, 2000)) * 2.0 ** -24,
+        [0.0, 1.0, -1.0, 0.5, 2.0 ** -30, -2.0 ** 40],
+    ])
+    A = vals.reshape(2, -1)
+    for ns, bits in [(5, 7), (6, 6)]:
+        ds, sc = ozaki._digits_list(jnp.asarray(A), ns, scale_axis=1,
+                                    bits=bits)
+        ds = [np.asarray(d).astype(np.int64) for d in ds]
+        sc = np.asarray(sc)
+        dmax = (1 << (bits - 1)) + 1
+        for d in ds:
+            assert np.max(np.abs(d)) <= dmax, (ns, bits, np.max(np.abs(d)))
+        rec = sum(d * 2.0 ** (-bits * (p + 1)) for p, d in enumerate(ds))
+        rec = rec * sc
+        err = np.abs(rec - A)
+        # bound: scale * 2^{-bits*ns} * (1/2 + slack) + second-word tail
+        bound = np.broadcast_to(sc, A.shape) * (2.0 ** (-bits * ns)) \
+            * 0.75 + np.abs(A) * 2.0 ** -45
+        assert np.all(err <= bound), (ns, bits, np.max(err / bound))
