@@ -71,10 +71,23 @@ def run_large(nloop: int, cpu: bool):
                    lanc_niter=256, lanc_ngfiter=200, lanc_method="lanczos",
                    matmul_precision="native" if cpu else "ozaki5x7",
                    ed_verbose=0).validate()
+    # per-iteration timestamps via the driver's loop-header log lines, to
+    # separate the compile-dominated first iteration (minutes through the
+    # tunnel; XLA programs are recompiled per fresh process) from the
+    # steady-state cost a production loop actually pays
+    marks = []
+
+    def log(msg):
+        if msg.startswith("--- DMFT loop"):
+            marks.append(time.time())
+
     t0 = time.time()
-    r = hm_bethe.run(cfg, le=300, wmixing=0.5)
+    r = hm_bethe.run(cfg, le=300, wmixing=0.5, log=log)
     dt = time.time() - t0
-    return r, dt, cfg
+    steady = None
+    if len(marks) >= 2:
+        steady = (t0 + dt - marks[1]) / (len(marks) - 1)
+    return r, dt, cfg, steady
 
 
 def main():
@@ -118,12 +131,14 @@ def main():
                     }
                 else:
                     nloop = args.nloop or 3
-                    r, dt, cfg = run_large(nloop, args.cpu)
+                    r, dt, cfg, steady = run_large(nloop, args.cpu)
                     per_it = dt / r.iterations
-                    base = None
+                    base = base_steady = None
                     if os.path.exists(LARGE_CPU_ART):
                         with open(LARGE_CPU_ART) as fh:
-                            base = json.load(fh)["s_per_iteration"]
+                            art = json.load(fh)
+                        base = art["s_per_iteration"]
+                        base_steady = art.get("steady_s_per_iteration")
                     line = {
                         "metric": "large-sector (dim 853k) DMFT iteration "
                                   f"({backend})",
@@ -134,6 +149,13 @@ def main():
                         "total_s": round(dt, 2),
                         "docc": float(r.docc[0]),
                         "s_per_iteration": round(per_it, 2),
+                        # iterations 2+ (first iteration carries this
+                        # process's XLA compiles — minutes on the tunnel)
+                        "steady_s_per_iteration": (round(steady, 2)
+                                                   if steady else None),
+                        "steady_vs_baseline": (
+                            round(base_steady / steady, 3)
+                            if steady and base_steady else None),
                     }
                     if args.cpu:
                         os.makedirs(os.path.dirname(LARGE_CPU_ART),

@@ -28,12 +28,39 @@ import jax.numpy as jnp
 # platforms with no complex128 support on device
 _NO_C128 = ("tpu", "axon")
 
-# Krylov problems below this many vector elements stay on the host: the
-# accelerator round-trip (20-40 ms tunnel dispatch + transfers + emulated
-# f64 at tiny shapes) loses to the CPU there — measured: the canonical
-# ed_hm_bethe (dims <= 1225) runs 8x SLOWER fully offloaded than on CPU,
-# while the dim ~1e6 sectors run 10-40x faster (PERF_NOTES.md).
-_MIN_DIM = int(os.environ.get("DMFT_ED_KRYLOV_MIN_DIM", 32768))
+# Offload placement is a TWO-LEVEL decision (round-4 crossover scan,
+# bench_crossover.py / PERF_NOTES.md):
+#
+# 1. PROBLEM level: the hybrid placement only pays off when the problem's
+#    LARGEST sector crosses the CPU/TPU crossover — measured steady-state:
+#    CPU wins up to dim 6.4e4 (2.3x at Nbath=9), the hybrid wins from
+#    2.1e5 (1.17x at Nbath=10, 2.9x at 8.5e5). Below that, everything
+#    stays on the host (DMFT_ED_OFFLOAD_MIN_DIM, solver calls
+#    note_problem_dim with the sector table's max).
+# 2. SECTOR level: once offloading, a LOW per-sector floor wins — the
+#    tunnel cost is per-dispatch and the ragged batcher amortizes it best
+#    when it gets the whole sector population (measured at Nbath=10:
+#    floor 32768 = 80.5 s/iter vs offloading only >=131072 = 140 s/iter,
+#    both vs CPU 94.4; at Nbath=8/9 floor 2048 beats floor 32768 by
+#    ~1.6x). DMFT_ED_KRYLOV_MIN_DIM keeps tiny blocks host-side.
+_MIN_DIM = int(os.environ.get("DMFT_ED_KRYLOV_MIN_DIM", 2048))
+_OFFLOAD_MIN = int(os.environ.get("DMFT_ED_OFFLOAD_MIN_DIM", 131072))
+
+# largest sector dim of the problem currently being solved (None =
+# unknown -> offload decisions fall back to per-call sizes only)
+_PROBLEM_MAX_DIM = None
+
+
+def note_problem_dim(max_dim: int) -> None:
+    """Record the problem scale (largest sector dimension) so the hybrid
+    placement can make the problem-level offload decision. Called by
+    EDSolver/diagonalize with the sector table's max dim."""
+    global _PROBLEM_MAX_DIM
+    _PROBLEM_MAX_DIM = int(max_dim)
+
+
+def _problem_offloads() -> bool:
+    return _PROBLEM_MAX_DIM is None or _PROBLEM_MAX_DIM >= _OFFLOAD_MIN
 
 
 @lru_cache(maxsize=1)
@@ -82,7 +109,7 @@ def ragged_batching(total_elems: int, dtype=None) -> bool:
     if jax.default_backend() in ("tpu", "axon", "gpu"):
         return True
     dev = krylov_device()
-    if dev is None or total_elems < _MIN_DIM:
+    if dev is None or total_elems < _MIN_DIM or not _problem_offloads():
         return False
     return dtype is None or _holds(dev, dtype)
 
@@ -117,7 +144,7 @@ def place_krylov(arrays, v0):
     the dtypes are representable there; no-op (and no transfer) otherwise
     or when already committed."""
     dev = krylov_device()
-    if dev is None:
+    if dev is None or not _problem_offloads():
         return arrays, v0
     size = sum(v.size for v in v0) if isinstance(v0, tuple) \
         else jnp.asarray(v0).size

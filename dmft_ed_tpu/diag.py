@@ -213,6 +213,10 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
     dim >= cfg.shard_dim_threshold are then solved with row-sharded
     Krylov (the production distributed path; parallel/hxv.py)."""
     table = sector_table(cfg)
+    # problem-level offload decision for the hybrid placement (device.py):
+    # the largest sector dim decides host-only vs offload-everything
+    from .device import note_problem_dim
+    note_problem_dim(max((s.dim for s in table.sectors), default=0))
     if state is None:
         state = DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
     if not state.neigen_sector:
@@ -471,6 +475,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
     if cfgs is None:
         cfgs = [cfg] * nsites
     table = sector_table(cfg)
+    from .device import note_problem_dim
+    note_problem_dim(max((s.dim for s in table.sectors), default=0))
     if states is None:
         states = [None] * nsites
     states = [s or DiagState(lanc_nstates_total=cfg.lanc_nstates_total)
