@@ -65,29 +65,46 @@ def run_canonical(nloop: int):
 def run_large(nloop: int, cpu: bool):
     from dmft_ed_tpu.config import EDConfig
     from dmft_ed_tpu.models import hm_bethe
+    from dmft_ed_tpu.solver import EDSolver
+    import numpy as np
     # effective-f64 ozaki5x7 Krylov on the TPU MXU; exact BLAS f64 on CPU
     cfg = EDConfig(norb=1, nbath=11, nspin=1, uloc=(2.0,), beta=100.0,
                    lmats=1024, lreal=256, dmft_error=1e-12, nloop=nloop,
                    lanc_niter=256, lanc_ngfiter=200, lanc_method="lanczos",
                    matmul_precision="native" if cpu else "ozaki5x7",
                    ed_verbose=0).validate()
+    hloc = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb))
+    solver = EDSolver(cfg, hloc)
     # per-iteration timestamps via the driver's loop-header log lines, to
     # separate the compile-dominated first iteration (minutes through the
-    # tunnel; XLA programs are recompiled per fresh process) from the
-    # steady-state cost a production loop actually pays
-    marks = []
+    # tunnel on a cold compile cache) from the steady-state cost; stage
+    # snapshots (solver.timers) give the per-iteration breakdown VERDICT
+    # r4 item 2 asked for
+    marks, stage_snaps = [], []
 
     def log(msg):
         if msg.startswith("--- DMFT loop"):
             marks.append(time.time())
+            stage_snaps.append(solver.timers.snapshot())
 
     t0 = time.time()
-    r = hm_bethe.run(cfg, le=300, wmixing=0.5, log=log)
+    r = hm_bethe.run(cfg, le=300, wmixing=0.5, log=log, solver=solver)
     dt = time.time() - t0
+    marks.append(t0 + dt)
+    stage_snaps.append(solver.timers.snapshot())
+    iter_s = [round(marks[i + 1] - marks[i], 2)
+              for i in range(len(marks) - 1)]
+    stages = []    # per-iteration {stage: seconds}
+    for i in range(len(stage_snaps) - 1)[:len(iter_s)]:
+        a, b = stage_snaps[i], stage_snaps[i + 1]
+        d = {k: round(b[k] - a.get(k, 0.0), 2) for k in b
+             if b[k] - a.get(k, 0.0) > 0.005}
+        d["other"] = round(iter_s[i] - sum(d.values()), 2)
+        stages.append(d)
     steady = None
-    if len(marks) >= 2:
-        steady = (t0 + dt - marks[1]) / (len(marks) - 1)
-    return r, dt, cfg, steady
+    if len(iter_s) >= 2:
+        steady = sum(iter_s[1:]) / len(iter_s[1:])
+    return r, dt, cfg, steady, iter_s, stages
 
 
 def main():
@@ -131,7 +148,8 @@ def main():
                     }
                 else:
                     nloop = args.nloop or 3
-                    r, dt, cfg, steady = run_large(nloop, args.cpu)
+                    r, dt, cfg, steady, iter_s, stages = \
+                        run_large(nloop, args.cpu)
                     per_it = dt / r.iterations
                     base = base_steady = None
                     if os.path.exists(LARGE_CPU_ART):
@@ -156,6 +174,8 @@ def main():
                         "steady_vs_baseline": (
                             round(base_steady / steady, 3)
                             if steady and base_steady else None),
+                        "iter_s": iter_s,
+                        "stages_per_iter": stages,
                     }
                     if args.cpu:
                         os.makedirs(os.path.dirname(LARGE_CPU_ART),

@@ -27,6 +27,13 @@ import jax
 # f32 with f64 accumulation where profiling justifies it.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the axon tunnel re-pays minutes of
+# compiles per process without it (see compile_cache.py; disable with
+# DMFT_ED_COMPILE_CACHE=0).
+from . import compile_cache as _compile_cache  # noqa: E402
+
+_compile_cache.enable()
+
 from .version import __version__  # noqa: E402
 from .config import EDConfig, read_input  # noqa: E402
 from .bath import Bath, get_bath_dimension  # noqa: E402

@@ -43,7 +43,15 @@ class DiagState:
 def sectors_mask(cfg: EDConfig, table: SectorTable,
                  suffix: str = "") -> np.ndarray:
     """ed_sectors restriction from sectors_list restart file
-    (ed_pre_diag, ED_DIAG.f90:263-363)."""
+    (ed_pre_diag, ED_DIAG.f90:263-363).
+
+    Two-quantum-number sectors read two-column rows: (nup, ndw) for
+    normal mode and (n, 2Jz) for nonsu2 with jz_basis
+    (ED_DIAG.f90:322-343), each qn shifted independently by
+    ed_sectors_shift. (The reference's inner n-shift loop accumulates M
+    across the sign loop — a transcription slip; the intended independent
+    +/-shift of each qn is implemented here.) The candidate audit trail
+    goes to ``list_of_sectors<suffix>.ed`` as in ED_DIAG.f90:283-356."""
     mask = np.ones(len(table), dtype=bool)
     if not cfg.ed_sectors:
         return mask
@@ -55,25 +63,48 @@ def sectors_mask(cfg: EDConfig, table: SectorTable,
         rows = [tuple(int(float(x)) for x in ln.split())
                 for ln in fh if ln.strip()]
     sh = cfg.ed_sectors_shift
+    two_qn = cfg.ed_mode == "normal" or \
+        (cfg.ed_mode == "nonsu2" and cfg.jz_basis)
+    audit = []    # (sector index | 0, matched?, qns) per candidate
     for row in rows:
-        if cfg.ed_mode == "normal":
-            nup, ndw = row[0], row[1]
-            cands = [(nup, ndw)]
+        if two_qn:
+            a, b = row[0], row[1]
+            cands = [(a, b)]
             for s in range(1, sh + 1):
-                cands += [(nup + s, ndw), (nup - s, ndw),
-                          (nup, ndw + s), (nup, ndw - s)]
-            for c in cands:
-                sec = table.get(*c)
-                if sec is not None:
-                    mask[sec.index] = True
+                cands += [(a + s, b), (a - s, b),
+                          (a, b + s), (a, b - s)]
         else:
             q = row[0]
-            for c in [q] + [q + s * sgn for s in range(1, sh + 1)
-                            for sgn in (-1, 1)]:
-                sec = table.get(c)
-                if sec is not None:
-                    mask[sec.index] = True
+            cands = [(q,)] + [(q + s * sgn,) for s in range(1, sh + 1)
+                              for sgn in (-1, 1)]
+        for c in cands:
+            sec = table.get(*c)
+            if sec is not None:
+                mask[sec.index] = True
+                audit.append((sec.index + 1, True, c))
+            else:
+                audit.append((0, False, c))
+    try:
+        with open(f"list_of_sectors{suffix}.ed", "w") as fh:
+            for idx, ok, c in audit:
+                fh.write(f"{idx:6d} {'T' if ok else 'F'} "
+                         + " ".join(f"{q:4d}" for q in c) + "\n")
+    except OSError:
+        pass
     return mask
+
+
+def _is_self_twin(cfg: EDConfig, sec) -> bool:
+    """Whether a sector coincides with its ed_twin conjugate (no mirror
+    state to add; ED_DIAG.f90:220-236 adds twins only when the sectors
+    differ)."""
+    if sec.qn[0] == "normal":
+        return sec.qn[1] == sec.qn[2]
+    if sec.qn[0] == "superc":
+        return sec.qn[1] == 0
+    if sec.qn[0] == "nonsu2jz":
+        return sec.qn[1] == cfg.ns and sec.qn[2] == 0
+    return sec.qn[1] == cfg.ns
 
 
 def _solve_sector_dense(ham, neigen: int):
@@ -225,8 +256,6 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                                                  cfg.lanc_nstates_sector)
 
     smask = sectors_mask(cfg, table, suffix)
-    if cfg.ed_twin and cfg.jz_basis:
-        raise NotImplementedError("ed_twin is not supported with jz_basis")
     tmask = table.twin_mask() if cfg.ed_twin else np.ones(len(table), bool)
     finite_t = state.lanc_nstates_total > 1
 
@@ -242,13 +271,8 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         if cfg.jz_basis and cfg.jz_max and \
                 abs(sec.qn[2]) > int(2 * cfg.jz_max_value):
             continue
-        tflag = cfg.ed_twin and tmask[sec.index]
-        if cfg.ed_mode == "normal":
-            tflag = tflag and (sec.qn[1] != sec.qn[2])
-        elif cfg.ed_mode == "superc":
-            tflag = tflag and (sec.qn[1] != 0)
-        else:
-            tflag = tflag and (sec.qn[1] != cfg.ns)
+        tflag = cfg.ed_twin and tmask[sec.index] \
+            and not _is_self_twin(cfg, sec)
         sweep.append((sec, tflag,
                       min(sec.dim, state.neigen_sector[sec.index])))
 
@@ -490,8 +514,6 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
         suffixes = [f"_ineq{i + 1:04d}" for i in range(nsites)]
     smasks = [sectors_mask(cfgs[i], table, suffixes[i])
               for i in range(nsites)]
-    if cfg.ed_twin and cfg.jz_basis:
-        raise NotImplementedError("ed_twin is not supported with jz_basis")
     tmask = table.twin_mask() if cfg.ed_twin else np.ones(len(table), bool)
     finite_t = any(st.lanc_nstates_total > 1 for st in states)
     slists = [StateList() for _ in range(nsites)]
@@ -507,13 +529,8 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
         active = [smasks[i][sec.index] for i in range(nsites)]
         if not any(active):
             continue
-        tflag = cfg.ed_twin and tmask[sec.index]
-        if cfg.ed_mode == "normal":
-            tflag = tflag and (sec.qn[1] != sec.qn[2])
-        elif cfg.ed_mode == "superc":
-            tflag = tflag and (sec.qn[1] != 0)
-        else:
-            tflag = tflag and (sec.qn[1] != cfg.ns)
+        tflag = cfg.ed_twin and tmask[sec.index] \
+            and not _is_self_twin(cfg, sec)
         idx = [i for i in range(nsites) if active[i]]
         neigen = [min(sec.dim, st.neigen_sector[sec.index]) for st in states]
         dense_ok = sec.dim <= cfg.lanc_dim_threshold or \

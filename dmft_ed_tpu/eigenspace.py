@@ -43,7 +43,7 @@ class EigenState:
                 bdst = self.sector.block_of(bsrc.ndw, bsrc.nup)
                 out[bdst.offset:bdst.offset + bdst.dim] = \
                     np.ascontiguousarray(v.T).ravel()
-        else:  # nonsu2: occupied<->empty complement per spin config
+        elif mode == "nonsu2":  # occupied<->empty complement per spin config
             ns = self.sector.ns
             full = (1 << ns) - 1
             for bsrc, v in zip(src.sector.blocks, blocks_v):
@@ -52,6 +52,33 @@ class EigenState:
                 dw_src = fock.spin_states(ns, bsrc.ndw)
                 pu = fock.rank_states(full ^ up_src, ns)
                 pd = fock.rank_states(full ^ dw_src, ns)
+                tgt = np.zeros((bdst.ddw, bdst.dup), dtype=v.dtype)
+                tgt[np.ix_(pd, pu)] = v
+                out[bdst.offset:bdst.offset + bdst.dim] = tgt.ravel()
+        else:  # nonsu2jz: particle-hole complement within Lz sub-blocks —
+            # the (nup, ndw, lup, ldw) sub-block maps onto
+            # (Ns-nup, Ns-ndw, -lup, -ldw) because complementing an Lz
+            # class of the t2g shell negates twoLz (Σ_levels Lz = 0)
+            ns = self.sector.ns
+            full = (1 << ns) - 1
+            for bi, (bsrc, v) in enumerate(zip(src.sector.blocks, blocks_v)):
+                lup, ldw = src.sector.block_lz(bi)
+                iu = src.sector.up_sel(bi)
+                idw = src.sector.dw_sel(bi)
+                bj = self.sector.block_index_of(ns - bsrc.nup, ns - bsrc.ndw,
+                                                -lup, -ldw)
+                bdst = self.sector.blocks[bj]
+                ju = self.sector.up_sel(bj)
+                jdw = self.sector.dw_sel(bj)
+                ranks_u = fock.rank_states(
+                    full ^ fock.spin_states(ns, bsrc.nup)[iu], ns)
+                ranks_d = fock.rank_states(
+                    full ^ fock.spin_states(ns, bsrc.ndw)[idw], ns)
+                pu = np.searchsorted(ju, ranks_u)
+                pd = np.searchsorted(jdw, ranks_d)
+                assert np.array_equal(ju[pu], ranks_u) and \
+                    np.array_equal(jdw[pd], ranks_d), \
+                    "complement left the twin Lz class"
                 tgt = np.zeros((bdst.ddw, bdst.dup), dtype=v.dtype)
                 tgt[np.ix_(pd, pu)] = v
                 out[bdst.offset:bdst.offset + bdst.dim] = tgt.ravel()

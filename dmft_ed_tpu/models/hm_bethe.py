@@ -81,14 +81,17 @@ def run(cfg: EDConfig | None = None, le: int = 500, wbethe=1.0, dbethe=0.0,
         _log(f"--- DMFT loop {iloop}/{cfg.nloop} ---")
         res = solver.solve(bath)
         smats, sreal = res.smats, res.sreal
-        gmats = gloc_dos(cfg, eb, db, h0, smats, "mats")
-        greal = gloc_dos(cfg, eb, db, h0, sreal, "real")
-        if bethe_sc:
-            gm = res.gmats if wgimp else gmats
-            weiss = self_consistency(cfg, gm, smats, hloc, wbands=wband)
-        else:
-            # gloc_dos is orbital-diagonal -> the Weiss update must be too
-            weiss = self_consistency(cfg, gmats, smats, hloc, diag_only=True)
+        with solver.timers("gloc"):
+            gmats = gloc_dos(cfg, eb, db, h0, smats, "mats")
+            greal = gloc_dos(cfg, eb, db, h0, sreal, "real")
+        with solver.timers("weiss"):
+            if bethe_sc:
+                gm = res.gmats if wgimp else gmats
+                weiss = self_consistency(cfg, gm, smats, hloc, wbands=wband)
+            else:
+                # gloc_dos is orbital-diagonal -> the Weiss update must be too
+                weiss = self_consistency(cfg, gmats, smats, hloc,
+                                         diag_only=True)
         if mix_g0 and weiss_prev is not None:
             weiss = wmixing * weiss + (1 - wmixing) * weiss_prev
         if mix_g0:

@@ -190,7 +190,12 @@ class SectorTable:
         raise ValueError(self.ed_mode)
 
     def twin_sector(self, sector: Sector) -> Sector:
-        """Sector with conjugate quantum numbers (get_twin_sector, ED_SETUP.f90:1195)."""
+        """Sector with conjugate quantum numbers (get_twin_sector, ED_SETUP.f90:1195).
+
+        Jz basis: the nonsu2 twin is the particle-hole complement
+        (occupied<->empty, flip_state ED_SETUP.f90:1178-1186); the filled
+        t2g shell has twoJz = 0 (Σ Lz = 0 per spin, Σ Sz = 0), so
+        (n, twoJz) -> (2Ns - n, -twoJz)."""
         if self.ed_mode == "normal":
             _, nup, ndw = sector.qn
             return self.get(ndw, nup)
@@ -200,12 +205,16 @@ class SectorTable:
         if self.ed_mode == "nonsu2":
             (_, n) = sector.qn
             return self.get(2 * self.ns - n)
+        if self.ed_mode == "nonsu2jz":
+            _, n, twojz = sector.qn
+            return self.get(2 * self.ns - n, -twojz)
         raise ValueError(self.ed_mode)
 
     def twin_mask(self) -> np.ndarray:
         """True for sectors to actually diagonalize when ed_twin
         (setup_pointers_*: normal keeps nup>=ndw; superc keeps sz<=0;
-        nonsu2 keeps n<=Ns)."""
+        nonsu2 keeps n<=Ns; Jz basis keeps n<Ns plus the twoJz<=0 half of
+        the self-conjugate n=Ns shell)."""
         mask = np.ones(len(self.sectors), dtype=bool)
         for i, s in enumerate(self.sectors):
             if self.ed_mode == "normal":
@@ -217,6 +226,9 @@ class SectorTable:
             elif self.ed_mode == "nonsu2":
                 (_, n) = s.qn
                 mask[i] = not (n > self.ns)
+            elif self.ed_mode == "nonsu2jz":
+                _, n, twojz = s.qn
+                mask[i] = n < self.ns or (n == self.ns and twojz <= 0)
         return mask
 
 

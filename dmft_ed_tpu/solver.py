@@ -132,28 +132,38 @@ class EDSolver:
         timers = self.timers
         if cfg.ed_mode == "normal":
             from .gf_normal import build_gf_normal, build_sigma_normal
-            res.gmats, res.greal = gf if gf is not None else build_gf_normal(
-                cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
-                mesh=self.mesh)
-            res.smats, res.sreal, res.g0mats, res.g0real = \
-                build_sigma_normal(cfg, bath, self.hloc, res.gmats, res.greal)
+            with timers("gf_resolvents"):
+                res.gmats, res.greal = gf if gf is not None \
+                    else build_gf_normal(
+                        cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                        mesh=self.mesh)
+            with timers("sigma_dyson"):
+                res.smats, res.sreal, res.g0mats, res.g0real = \
+                    build_sigma_normal(cfg, bath, self.hloc, res.gmats,
+                                       res.greal)
         elif cfg.ed_mode == "superc":
             from .gf_superc import build_gf_superc, build_sigma_superc
-            (res.gmats, res.greal, res.fmats, res.freal) = \
-                gf if gf is not None else build_gf_superc(
-                    cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
-                    mesh=self.mesh)
-            (res.smats, res.sreal, res.smats_an, res.sreal_an,
-             res.g0mats, res.g0real, res.f0mats, res.f0real) = \
-                build_sigma_superc(cfg, bath, self.hloc, res.gmats, res.greal,
-                                   res.fmats, res.freal)
+            with timers("gf_resolvents"):
+                (res.gmats, res.greal, res.fmats, res.freal) = \
+                    gf if gf is not None else build_gf_superc(
+                        cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                        mesh=self.mesh)
+            with timers("sigma_dyson"):
+                (res.smats, res.sreal, res.smats_an, res.sreal_an,
+                 res.g0mats, res.g0real, res.f0mats, res.f0real) = \
+                    build_sigma_superc(cfg, bath, self.hloc, res.gmats,
+                                       res.greal, res.fmats, res.freal)
         else:
             from .gf_nonsu2 import build_gf_nonsu2, build_sigma_nonsu2
-            res.gmats, res.greal = gf if gf is not None else build_gf_nonsu2(
-                cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
-                mesh=self.mesh)
-            res.smats, res.sreal, res.g0mats, res.g0real = \
-                build_sigma_nonsu2(cfg, bath, self.hloc, res.gmats, res.greal)
+            with timers("gf_resolvents"):
+                res.gmats, res.greal = gf if gf is not None \
+                    else build_gf_nonsu2(
+                        cfg, slist, zeta, bath, self.hloc, finite_t, self.log,
+                        mesh=self.mesh)
+            with timers("sigma_dyson"):
+                res.smats, res.sreal, res.g0mats, res.g0real = \
+                    build_sigma_nonsu2(cfg, bath, self.hloc, res.gmats,
+                                       res.greal)
         # --- susceptibilities
         if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag:
             from . import chi as chi_mod
@@ -257,10 +267,11 @@ class EDSolver:
         # reference's warm CG (see fit.chi2_fitgf docstring)
         first = not getattr(self, "_fit_ran", False)
         self._fit_ran = True
-        return chi2_fitgf(self.cfg, fg, bath_flat, self.hloc, ispin=ispin,
-                          iorb=iorb, fg_an=fg_an, mask=self.mask,
-                          suffix=self.suffix, log=self.log,
-                          precondition=first)
+        with self.timers("bath_fit"):
+            return chi2_fitgf(self.cfg, fg, bath_flat, self.hloc, ispin=ispin,
+                              iorb=iorb, fg_an=fg_an, mask=self.mask,
+                              suffix=self.suffix, log=self.log,
+                              precondition=first)
 
     # ------------------------------------------------------------------
     def read_sigma(self):

@@ -30,6 +30,11 @@ class Timers:
             if announce and self.log:
                 self.log(f"{name} done in {dt:.3f}s")
 
+    def snapshot(self) -> Dict[str, float]:
+        """Copy of the accumulated seconds per stage (for per-iteration
+        deltas in benches — bench_e2e.py's stage table)."""
+        return dict(self.acc)
+
     def eta(self, i: int, n: int, t_start: float) -> str:
         """Progress line like SF_TIMER's eta (ED_DIAG.f90:131)."""
         el = time.time() - t_start
