@@ -216,7 +216,7 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
                      ispin: Optional[int] = None, iorb: Optional[int] = None,
                      fgs_an=None, masks=None, cfgs=None, suffixes=None,
                      log=None, save: bool = True,
-                     precondition: bool = True) -> np.ndarray:
+                     precondition: bool = True, mesh=None) -> np.ndarray:
     """Joint bath fit over N inequivalent sites (the lattice fit stage,
     ED_FIT_CHI2.f90 lattice variants).
 
@@ -229,6 +229,11 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
     back to the single-site path (jittered restarts).
 
     fgs: [S, Nspin, Nspin, Norb, Norb, L]; baths_flat: [S, Nb].
+    mesh: optional jax.sharding.Mesh with a 'sites' axis — the stacked
+    per-site objective arrays are then sharded over it, so every joint
+    L-BFGS objective/gradient evaluation partitions across devices (the
+    mesh form of the reference's per-rank site fits,
+    ED_FIT_CHI2.f90:187-225).
     Returns the updated [S, Nb] bath stack."""
     S = len(baths_flat)
     cfgs = list(cfgs) if cfgs is not None else [cfg] * S
@@ -275,6 +280,21 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
                                         for i in range(S)]))
                for k in names}
 
+    x_shd = None
+    if mesh is not None and 1 < mesh.shape.get("sites", 1) and \
+            S % mesh.shape["sites"] == 0:    # GSPMD needs divisible axes
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _sites_put(a):
+            return jax.device_put(a, NamedSharding(
+                mesh, P(*(("sites",) + (None,) * (a.ndim - 1)))))
+        tgts = _sites_put(tgts)
+        if tgts_an is not None:
+            tgts_an = _sites_put(tgts_an)
+        hls = _sites_put(hls)
+        base_ps = {k: _sites_put(v) for k, v in base_ps.items()}
+        x_shd = NamedSharding(mesh, P("sites", None))
+
     def site_chi2(scheme, xv, base_p, hl, tgt, tgt_an):
         p = dict(base_p)
         p.update(inject(xv))
@@ -295,6 +315,8 @@ def chi2_fitgf_sites(cfg: EDConfig, fgs, baths_flat, hlocs,
 
     def make_joint(scheme, targets, targets_an):
         def chi2_all(xmat):
+            if x_shd is not None:
+                xmat = jax.lax.with_sharding_constraint(xmat, x_shd)
             args = (xmat, base_ps, hls, targets)
             if targets_an is not None:
                 per = jax.vmap(lambda xv, bp, hl, t, ta: site_chi2(

@@ -206,7 +206,8 @@ class LatticeEDSolver:
     def chi2_fitgf(self, weiss_ineq: np.ndarray, baths: np.ndarray,
                    ispin=None, fg_an_ineq=None) -> np.ndarray:
         """Joint block-separable fit over sites (fit.chi2_fitgf_sites):
-        one L-BFGS whose objective evaluates every site in one vmap."""
+        one L-BFGS whose objective evaluates every site in one vmap,
+        sharded over the mesh 'sites' axis when one is attached."""
         from .fit import chi2_fitgf_sites
         first = not getattr(self, "_fit_ran", False)
         self._fit_ran = True
@@ -216,4 +217,4 @@ class LatticeEDSolver:
             masks=[s.mask for s in self.solvers], cfgs=self.cfgs,
             suffixes=[s.suffix for s in self.solvers],
             log=self.solvers[0].log if self.cfg.ed_verbose > 0 else None,
-            precondition=first)
+            precondition=first, mesh=self.mesh)
