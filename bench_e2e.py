@@ -99,7 +99,9 @@ def run_large(nloop: int, cpu: bool):
         a, b = stage_snaps[i], stage_snaps[i + 1]
         d = {k: round(b[k] - a.get(k, 0.0), 2) for k in b
              if b[k] - a.get(k, 0.0) > 0.005}
-        d["other"] = round(iter_s[i] - sum(d.values()), 2)
+        # "diag.*" sub-stages nest inside "diagonalize" — top-level only
+        d["other"] = round(iter_s[i] - sum(
+            v for k, v in d.items() if not k.startswith("diag.")), 2)
         stages.append(d)
     steady = None
     if len(iter_s) >= 2:

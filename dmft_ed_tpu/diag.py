@@ -237,12 +237,18 @@ def _solve_deferred_ragged(cfg: EDConfig, tasks, results, rng):
 
 def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                 state: Optional[DiagState] = None,
-                suffix: str = "", log=None, mesh=None) -> tuple:
+                suffix: str = "", log=None, mesh=None,
+                timers=None) -> tuple:
     """Full sector sweep. Returns (StateList, zeta, DiagState).
 
     mesh: optional jax.sharding.Mesh with a 'rows' axis — sectors with
     dim >= cfg.shard_dim_threshold are then solved with row-sharded
-    Krylov (the production distributed path; parallel/hxv.py)."""
+    Krylov (the production distributed path; parallel/hxv.py).
+    timers: optional timer.Timers — accumulates the sweep's sub-stages
+    (ham assembly / Krylov routes / dense eigh) for the e2e stage
+    profile (SF_TIMER per-phase timing, ED_DIAG.f90:64,129,250)."""
+    from contextlib import nullcontext
+    tm = timers if timers is not None else (lambda name: nullcontext())
     table = sector_table(cfg)
     # problem-level offload decision for the hybrid placement (device.py):
     # the largest sector dim decides host-only vs offload-everything
@@ -332,24 +338,29 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         if routes[pos] is None:
             lanc_solve = (neigen < sec.dim) \
                 and (sec.dim > cfg.lanc_dim_threshold)
-            ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
+            with tm("diag.ham_build"):
+                ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
             if lanc_solve:
-                evals, evecs = _solve_sector_lanczos(cfg, ham, neigen,
-                                                     rng, mesh,
-                                                     v0=v0s.pop(pos))
+                with tm("diag.krylov_serial"):
+                    evals, evecs = _solve_sector_lanczos(cfg, ham, neigen,
+                                                         rng, mesh,
+                                                         v0=v0s.pop(pos))
             else:
-                evals, evecs = _solve_sector_dense(ham, neigen)
+                with tm("diag.dense_eigh"):
+                    evals, evecs = _solve_sector_dense(ham, neigen)
                 evals, evecs = evals[:neigen], evecs[:neigen]
             del ham
         else:
             if pos not in pending:
                 tasks = []
-                for p in buckets[routes[pos]]:
-                    s2, _, n2 = sweep[p]
-                    ham2 = build_sector_hamiltonian(cfg, s2, bath, hloc)
-                    tasks.append((s2, ham2, n2, v0s.pop(p)))
+                with tm("diag.ham_build"):
+                    for p in buckets[routes[pos]]:
+                        s2, _, n2 = sweep[p]
+                        ham2 = build_sector_hamiltonian(cfg, s2, bath, hloc)
+                        tasks.append((s2, ham2, n2, v0s.pop(p)))
                 res = {}
-                _solve_deferred_ragged(cfg, tasks, res, rng)
+                with tm("diag.krylov_ragged"):
+                    _solve_deferred_ragged(cfg, tasks, res, rng)
                 del tasks
                 for p in buckets[routes[pos]]:
                     pending[p] = res[sweep[p][0].index]

@@ -110,7 +110,7 @@ class EDSolver:
         with self.timers("diagonalize"):
             slist, zeta, self.diag_state = diagonalize(
                 cfg, bath, self.hloc, self.diag_state, self.suffix, self.log,
-                mesh=self.mesh)
+                mesh=self.mesh, timers=self.timers)
         return self.solve_from_spectrum(bath, slist, zeta)
 
     def solve_from_spectrum(self, bath, slist, zeta, gf=None,
