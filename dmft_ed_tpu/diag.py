@@ -38,6 +38,10 @@ class DiagState:
     neigen_sector: Dict[int, int] = field(default_factory=dict)
     lanc_nstates_total: int = 1
     trim_counter: int = 0
+    # per-sector converged plain-Lanczos iteration counts: DMFT iterations
+    # revisit near-identical baths, so the previous count (+headroom)
+    # replaces the blind lanc_niter-length scan (see _solve_sector_lanczos)
+    lanc_niter_sector: Dict[int, int] = field(default_factory=dict)
 
 
 def sectors_mask(cfg: EDConfig, table: SectorTable,
@@ -124,8 +128,41 @@ def _draw_v0(cfg: EDConfig, cplx: bool, dim: int, rng):
     return v0 / jnp.linalg.norm(v0)
 
 
+def _tridiag_e0(al, be, k: int) -> float:
+    """Ground Ritz value of the leading k x k tridiagonal block (host)."""
+    import scipy.linalg as sla
+    if k <= 1:
+        return float(al[0])
+    return float(sla.eigh_tridiagonal(al[:k], be[1:k],
+                                      select="i",
+                                      select_range=(0, 0))[0][0])
+
+
+def _min_converged(al, be, n: int, tol: float) -> int:
+    """Smallest k with |E0(k) - E0(n)| <= tol*max(1, |E0(n)|): the point
+    the reference's per-iteration deltaE test would have stopped at
+    (PLAIN_LANCZOS.f90:235-259). E0(k) decreases monotonically in k
+    (variational), so binary search applies."""
+    e_n = _tridiag_e0(al, be, n)
+    thr = tol * max(1.0, abs(e_n))
+    lo, hi = 1, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _tridiag_e0(al, be, mid) - e_n <= thr:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
-                          v0=None):
+                          v0=None, timers=None, niter_mem=None):
+    from contextlib import nullcontext
+    tm = timers if timers is not None else (lambda name: nullcontext())
     sec = ham.sector
     if mesh is not None and mesh.shape.get("rows", 1) > 1 \
             and sec.dim >= cfg.shard_dim_threshold:
@@ -134,7 +171,8 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
         # ED_MAIN.f90:284-327)
         from .parallel.hxv import solve_sector_sharded
         return solve_sector_sharded(cfg, ham, neigen, rng, mesh, v0=v0)
-    spec, arrays, blocks = make_matvec_op(ham, cfg)
+    with tm("diag.encode"):
+        spec, arrays, blocks = make_matvec_op(ham, cfg)
     cplx = spec[-1].startswith("complex")
     if v0 is None:
         v0 = _draw_v0(cfg, cplx, sec.dim, rng)
@@ -142,14 +180,52 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
         # plain-Lanczos T=0 path (lanc_method='lanczos'): two-pass ground
         # state — tridiagonalize once, then replay the recurrence with the
         # STORED (alpha, beta) to accumulate |gs> (2n matvecs total,
-        # dot-free second pass; PLAIN_LANCZOS.f90:189-397)
+        # dot-free second pass; PLAIN_LANCZOS.f90:189-397).
+        #
+        # Convergence-adaptive length (round 5): the reference stops the
+        # recurrence when the tridiagonal's E0 stops moving
+        # (PLAIN_LANCZOS.f90:235-259) — a fixed lanc_niter scan wastes the
+        # tail. In-scan host checks don't fit one jit, so instead the
+        # CONVERGED COUNT from the previous DMFT iteration (niter_mem,
+        # DiagState.lanc_niter_sector) sizes this iteration's scan
+        # (+headroom, rounded to 32 for stable compile keys); the result
+        # is convergence-verified on the host from the tridiagonal and the
+        # scan doubles on a miss. The rebuild pass replays only the
+        # converged count.
         from .lanczos import lanczos_rebuild_gs_op
-        niter = min(sec.dim, cfg.lanc_niter)
-        al, be, ns_ = lanczos_tridiag_op(spec, blocks, arrays, v0, niter)
-        n = max(int(ns_), 1)
-        evals, Y = tridiag_eigh(np.asarray(al[:n]), np.asarray(be[:n]))
-        gs = lanczos_rebuild_gs_op(spec, blocks, arrays, v0, al, be,
-                                   Y[:, 0], n)
+        niter_max = min(sec.dim, cfg.lanc_niter)
+        # f32-class Krylov (dryruns/benches): E0 jitters at ~1e-6 — a
+        # tighter test would never pass and the scan would always extend
+        tol = max(cfg.lanc_tolerance,
+                  1e-5 if spec[-1] in ("float32", "complex64") else 1e-14)
+        hint = niter_mem.get(sec.index) if niter_mem is not None else None
+        ni = niter_max if hint is None \
+            else min(niter_max, max(32, _round_up(hint + 16, 32)))
+        while True:
+            with tm("diag.tridiag"):
+                al, be, ns_ = lanczos_tridiag_op(spec, blocks, arrays,
+                                                 v0, ni)
+            n = max(int(ns_), 1)
+            al_h = np.asarray(al[:n], dtype=np.float64)
+            be_h = np.asarray(be[:n], dtype=np.float64)
+            if n < ni or ni >= niter_max:
+                break    # breakdown (exact subspace) or at the cap
+            # converged if the last 8 steps moved E0 by < tol
+            e_n = _tridiag_e0(al_h, be_h, n)
+            if _tridiag_e0(al_h, be_h, max(1, n - 8)) - e_n \
+                    <= tol * max(1.0, abs(e_n)):
+                break
+            ni = min(niter_max, ni * 2)    # hint too small: extend (rare)
+        n_conv = _min_converged(al_h, be_h, n, tol)
+        if niter_mem is not None:
+            niter_mem[sec.index] = n_conv
+        # 32-rounded like the tridiag length: one compile-key class per
+        # size step, amortized across processes by the persistent cache
+        n_r = min(n, max(32, _round_up(n_conv, 32)))
+        evals, Y = tridiag_eigh(al_h[:n_r], be_h[:n_r])
+        with tm("diag.rebuild"):
+            gs = lanczos_rebuild_gs_op(spec, blocks, arrays, v0, al, be,
+                                       Y[:, 0], n_r)
         return np.array([evals[0]]), gs[None, :]
     ncv = min(sec.dim,
               cfg.lanc_ncv_factor * max(neigen, cfg.lanc_nstates_sector)
@@ -342,9 +418,10 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                 ham = build_sector_hamiltonian(cfg, sec, bath, hloc)
             if lanc_solve:
                 with tm("diag.krylov_serial"):
-                    evals, evecs = _solve_sector_lanczos(cfg, ham, neigen,
-                                                         rng, mesh,
-                                                         v0=v0s.pop(pos))
+                    evals, evecs = _solve_sector_lanczos(
+                        cfg, ham, neigen, rng, mesh, v0=v0s.pop(pos),
+                        timers=timers,
+                        niter_mem=state.lanc_niter_sector)
             else:
                 with tm("diag.dense_eigh"):
                     evals, evecs = _solve_sector_dense(ham, neigen)
@@ -599,9 +676,9 @@ def diagonalize_sites(cfg: EDConfig, baths, hlocs, states=None, log=None,
                              finite_t, states[i], oldzero, i, twin=tflag)
             else:
                 for i in idx:
-                    evals, evecs = _solve_sector_lanczos(cfg, hams[i],
-                                                         neigen[i], rng,
-                                                         mesh)
+                    evals, evecs = _solve_sector_lanczos(
+                        cfg, hams[i], neigen[i], rng, mesh,
+                        niter_mem=states[i].lanc_niter_sector)
                     _append_eigenvalues(suffixes[i], sec, evals)
                     _collect(cfg, table, slists[i], sec, evals, evecs,
                              finite_t, states[i], oldzero, i, twin=tflag)
