@@ -187,20 +187,32 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
         # (PLAIN_LANCZOS.f90:235-259) — a fixed lanc_niter scan wastes the
         # tail. In-scan host checks don't fit one jit, so instead the
         # CONVERGED COUNT from the previous DMFT iteration (niter_mem,
-        # DiagState.lanc_niter_sector) sizes this iteration's scan
-        # (+headroom, rounded to 32 for stable compile keys); the result
-        # is convergence-verified on the host from the tridiagonal and the
-        # scan doubles on a miss. The rebuild pass replays only the
-        # converged count.
+        # DiagState.lanc_niter_sector) sizes this iteration's scan; the
+        # result is convergence-verified on the host from the tridiagonal
+        # and the scan doubles on a miss.
+        #
+        # Scan lengths are QUANTIZED to quarters of lanc_niter and the
+        # rebuild replays the same length as the tridiag pass: a jitted
+        # scan's length is part of its compile key, and through the
+        # tunnel every new key costs seconds of XLA compilation — with
+        # fine-grained (32-rounded n_conv) lengths the keys changed every
+        # DMFT iteration and the compile storm cost MORE than the saved
+        # matvecs (measured: steady 133 -> 250 s/iter on the dim-853k
+        # loop). Four reusable keys per sector amortize immediately.
         from .lanczos import lanczos_rebuild_gs_op
+        from .device import place_krylov
+        # commit operands once: tridiag + rebuild then see already-placed
+        # arrays instead of re-shipping the operator per pass
+        arrays, v0 = place_krylov(arrays, v0)
         niter_max = min(sec.dim, cfg.lanc_niter)
         # f32-class Krylov (dryruns/benches): E0 jitters at ~1e-6 — a
         # tighter test would never pass and the scan would always extend
         tol = max(cfg.lanc_tolerance,
                   1e-5 if spec[-1] in ("float32", "complex64") else 1e-14)
+        q = max(32, niter_max // 4)
         hint = niter_mem.get(sec.index) if niter_mem is not None else None
         ni = niter_max if hint is None \
-            else min(niter_max, max(32, _round_up(hint + 16, 32)))
+            else min(niter_max, _round_up(max(hint + 16, 32), q))
         while True:
             with tm("diag.tridiag"):
                 al, be, ns_ = lanczos_tridiag_op(spec, blocks, arrays,
@@ -216,16 +228,12 @@ def _solve_sector_lanczos(cfg: EDConfig, ham, neigen: int, rng, mesh=None,
                     <= tol * max(1.0, abs(e_n)):
                 break
             ni = min(niter_max, ni * 2)    # hint too small: extend (rare)
-        n_conv = _min_converged(al_h, be_h, n, tol)
         if niter_mem is not None:
-            niter_mem[sec.index] = n_conv
-        # 32-rounded like the tridiag length: one compile-key class per
-        # size step, amortized across processes by the persistent cache
-        n_r = min(n, max(32, _round_up(n_conv, 32)))
-        evals, Y = tridiag_eigh(al_h[:n_r], be_h[:n_r])
+            niter_mem[sec.index] = _min_converged(al_h, be_h, n, tol)
+        evals, Y = tridiag_eigh(al_h, be_h)
         with tm("diag.rebuild"):
             gs = lanczos_rebuild_gs_op(spec, blocks, arrays, v0, al, be,
-                                       Y[:, 0], n_r)
+                                       Y[:, 0], n)
         return np.array([evals[0]]), gs[None, :]
     ncv = min(sec.dim,
               cfg.lanc_ncv_factor * max(neigen, cfg.lanc_nstates_sector)
@@ -311,6 +319,99 @@ def _solve_deferred_ragged(cfg: EDConfig, tasks, results, rng):
             results[sec.index] = (ev[:kk], jnp.asarray(vec))
 
 
+def _solve_deferred_plain(cfg: EDConfig, tasks, results, rng, timers=None,
+                          niter_mem=None):
+    """Whole-sweep lockstep plain-Lanczos (sweep_plain.py): every
+    mix-free single-block Krylov sector of the sweep runs its two-pass
+    ground-state solve inside ONE lockstep scan whose matvec shares the
+    per-(spin, n) operators across sectors and concatenates their
+    vectors into ~Ns wide MXU products per orientation.
+
+    Round-5 motivation (PERF_NOTES): per-sector, a 924-class ozaki
+    matvec runs at ~27 ms/Lanczos iteration (small-shape s8 rates +
+    per-sector dispatch/encode) vs 12 ms for the 3432-class headline;
+    zero-embedded p2-bucket stacking (vmap) made it WORSE (padding +
+    batched small matmuls). The concat form enlarges the actual matmul
+    shapes and encodes each per-spin operator once per sweep. Scan
+    lengths follow the shared convergence-adaptive quantized scheme of
+    _solve_sector_lanczos."""
+    from contextlib import nullcontext
+    tm = timers if timers is not None else (lambda name: nullcontext())
+    from .device import ragged_batching, place_krylov
+    from .sweep_plain import (sweep_supported, make_sweep_op, sweep_tridiag,
+                              sweep_rebuild)
+    hams = [t[1] for t in tasks]
+    cplx = any(np.issubdtype(h.dtype, np.complexfloating) for h in hams)
+    vdt = np.result_type(np.dtype(cfg.dtype),
+                         np.complex64 if cplx else np.float32)
+    total = sum(t[0].dim for t in tasks)
+    if len(tasks) < 2 or not sweep_supported(cfg, hams) \
+            or not ragged_batching(total, vdt):
+        for sec, ham, neigen, v0 in tasks:
+            results[sec.index] = _solve_sector_lanczos(
+                cfg, ham, neigen, rng, v0=v0, timers=timers,
+                niter_mem=niter_mem)
+        return
+    S = len(tasks)
+    with tm("diag.encode"):
+        spec, arrays = make_sweep_op(cfg, hams)
+        V0 = tuple(jnp.asarray(np.asarray(t[3]).reshape(
+            t[0].blocks[0].ddw, t[0].blocks[0].dup)) for t in tasks)
+        # commit operands to the Krylov device ONCE (tridiag + rebuild
+        # then see already-placed arrays — no re-transfer)
+        arrays, V0 = place_krylov(arrays, V0)
+    niter_maxes = [min(t[0].dim, cfg.lanc_niter) for t in tasks]
+    nm = max(niter_maxes)
+    q = max(32, nm // 4)
+    tol = max(cfg.lanc_tolerance,
+              1e-5 if np.dtype(vdt) in (np.dtype(np.float32),
+                                        np.dtype(np.complex64))
+              else 1e-14)
+    hints = [niter_mem.get(t[0].index) if niter_mem is not None
+             else None for t in tasks]
+    ni = nm if any(h is None for h in hints) \
+        else min(nm, _round_up(max(h + 16 for h in hints), q))
+    while True:
+        with tm("diag.tridiag"):
+            al, be, ns_ = sweep_tridiag(spec, arrays, ni, V0)
+        al_h = np.asarray(al, dtype=np.float64)        # [ni, S]
+        be_h = np.asarray(be, dtype=np.float64)
+        ns_h = np.asarray(ns_)
+        if ni >= nm:
+            break
+        need_more = False
+        for s in range(S):
+            n_s = max(int(ns_h[s]), 1)
+            if n_s < ni or ni >= niter_maxes[s]:
+                continue    # breakdown / member at its cap
+            als, bes = al_h[:n_s, s], be_h[:n_s, s]
+            e_n = _tridiag_e0(als, bes, n_s)
+            if _tridiag_e0(als, bes, max(1, n_s - 8)) - e_n \
+                    > tol * max(1.0, abs(e_n)):
+                need_more = True
+                break
+        if not need_more:
+            break
+        ni = min(nm, ni * 2)
+    Ys = np.zeros((al_h.shape[0], S))
+    e0s = np.empty(S)
+    for s in range(S):
+        n_s = max(int(ns_h[s]), 1)
+        evals_s, Y_s = tridiag_eigh(al_h[:n_s, s], be_h[:n_s, s])
+        Ys[:n_s, s] = Y_s[:, 0]
+        e0s[s] = evals_s[0]
+        if niter_mem is not None:
+            niter_mem[tasks[s][0].index] = _min_converged(
+                al_h[:n_s, s], be_h[:n_s, s], n_s, tol)
+    with tm("diag.rebuild"):
+        GS = sweep_rebuild(spec, arrays, int(al_h.shape[0]), V0,
+                           jnp.asarray(al_h), jnp.asarray(be_h),
+                           jnp.asarray(Ys))
+    for s, (sec, ham, neigen, v0) in enumerate(tasks):
+        results[sec.index] = (np.array([e0s[s]]),
+                              jnp.asarray(GS[s]).reshape(-1)[None, :])
+
+
 def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                 state: Optional[DiagState] = None,
                 suffix: str = "", log=None, mesh=None,
@@ -393,8 +494,14 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
         if lanc_solve:
             v0s[pos] = _draw_v0(cfg, struct_cplx, sec.dim, rng)
         if lanc_solve and len(sec.blocks) == 1 and not struct_mix \
-                and not sharded and not plain:
-            key = (struct_cplx, 1 << (sec.dim - 1).bit_length())
+                and not sharded:
+            # both Krylov routes batch: ARPACK-path via the stacked thick
+            # restart in power-of-two size classes, plain-path via the
+            # whole-sweep lockstep concat engine (round 5 — per-sector
+            # dispatches and small-shape MXU rates dominated the sweep on
+            # the accelerator, see _solve_deferred_plain/sweep_plain.py)
+            key = ("sweep",) if plain \
+                else (struct_cplx, 1 << (sec.dim - 1).bit_length())
             routes.append(key)
             buckets.setdefault(key, []).append(pos)
         else:
@@ -437,7 +544,12 @@ def diagonalize(cfg: EDConfig, bath: Bath, hloc: np.ndarray,
                         tasks.append((s2, ham2, n2, v0s.pop(p)))
                 res = {}
                 with tm("diag.krylov_ragged"):
-                    _solve_deferred_ragged(cfg, tasks, res, rng)
+                    if plain:
+                        _solve_deferred_plain(
+                            cfg, tasks, res, rng, timers=timers,
+                            niter_mem=state.lanc_niter_sector)
+                    else:
+                        _solve_deferred_ragged(cfg, tasks, res, rng)
                 del tasks
                 for p in buckets[routes[pos]]:
                     pending[p] = res[sweep[p][0].index]

@@ -578,6 +578,59 @@ def eigs_lanczos_op_stacked(spec, blocks, arrays_stacked, V0, neigen, ncv,
     return evals, out_evecs[:S_orig], niter
 
 
+@partial(jax.jit, static_argnums=(0, 1, 7))
+def _rebuild_gs_op_stacked_jit(spec, blocks, arrays_stacked, V0, alphas,
+                               betas, y, n: int):
+    from .hamiltonian import apply_op
+
+    def one(arrays, v0, al, be, yv):
+        def mv(x):
+            V = _unflatten_blocks_static(x, blocks)
+            return _flatten_tuple(apply_op(spec, arrays, V))
+        rdt = jnp.float64 if v0.dtype in (jnp.float64, jnp.complex128) \
+            else jnp.float32
+        al = al.astype(rdt)
+        be = be.astype(rdt)
+        yv = yv.astype(rdt)
+        beta_next = jnp.concatenate([be[1:], jnp.zeros(1, rdt)])
+
+        def step(carry, j):
+            v_prev, v, acc = carry
+            acc = acc + yv[j] * v
+            w = mv(v)
+            w = w - al[j] * v - be[j] * v_prev
+            bn = beta_next[j]
+            # zero past a member's breakdown point (betas are 0 there from
+            # the masked tridiag pass): the lockstep replay stays finite
+            # and, with yv zero-padded beyond the member's chain, exact
+            vn = jnp.where(bn > _BREAKDOWN,
+                           w / jnp.where(bn > 0, bn, 1.0),
+                           jnp.zeros_like(w))
+            return (v, vn, acc), None
+
+        init = (jnp.zeros_like(v0), v0, jnp.zeros_like(v0))
+        carry, _ = jax.lax.scan(step, init, jnp.arange(n))
+        gs = carry[2]
+        return gs / jnp.linalg.norm(gs)
+
+    return jax.vmap(one)(arrays_stacked, V0, alphas, betas, y)
+
+
+def lanczos_rebuild_gs_op_stacked(spec, blocks, arrays_stacked, V0, alphas,
+                                  betas, y, n: int):
+    """Stacked two-pass rebuild: |gs_s> = Σ_j y[s, j] |v_j(s)> for S
+    structurally identical operators in ONE lockstep dot-free scan — the
+    rebuild companion of lanczos_tridiag_op_stacked. V0 [S, dim],
+    alphas/betas/y [S, >=n] (y zero-padded past each member's chain
+    length). Returns [S, dim] normalized ground states."""
+    from .device import place_krylov
+    arrays_stacked, V0 = place_krylov(arrays_stacked, V0)
+    return _rebuild_gs_op_stacked_jit(spec, blocks, arrays_stacked, V0,
+                                      jnp.asarray(alphas),
+                                      jnp.asarray(betas),
+                                      jnp.asarray(y), n)
+
+
 def lanczos_tridiag_op_stacked(spec, blocks, arrays_stacked, V0, niter: int):
     """Doubly-vmapped 3-term recurrence over a stack of structurally
     identical operators: arrays_stacked is the spec's array tuple with a

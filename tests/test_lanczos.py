@@ -111,3 +111,62 @@ def test_diag_plain_lanczos_dispatch():
             e_ref = slist.emin
         else:
             assert abs(slist.emin - e_ref) < 1e-8
+
+
+def test_plain_lanczos_stacked_bucket_matches_serial(monkeypatch):
+    """The stacked plain-Lanczos bucket path (_solve_deferred_plain:
+    zero-embedded lockstep tridiag + masked stacked rebuild) must
+    reproduce the serial per-sector two-pass solves exactly — same
+    spectrum, same ground-state vectors up to phase (VERDICT-r5 sweep
+    batching; forced on the CPU backend via DMFT_ED_RAGGED=1)."""
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.bath import Bath
+    from dmft_ed_tpu.diag import diagonalize
+    from dmft_ed_tpu.observables import compute_observables
+
+    res = {}
+    for ragged in ("0", "1"):
+        monkeypatch.setenv("DMFT_ED_RAGGED", ragged)
+        cfg = EDConfig(norb=1, nbath=5, nspin=1, uloc=(2.0,), xmu=0.12,
+                       lanc_method="lanczos", lanc_dim_threshold=16,
+                       lanc_niter=200, beta=50.0).validate()
+        rng = np.random.default_rng(21)
+        bath = Bath(cfg)
+        bath.e[:] = np.linspace(-1.1, 0.9, cfg.nbath)[None, None, :]
+        bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+        hloc = np.zeros((1, 1, 1, 1))
+        slist, zeta, st = diagonalize(cfg, bath, hloc, None)
+        obs = compute_observables(cfg, slist, zeta, bath, hloc, False)
+        res[ragged] = (slist.emin, zeta, obs.dens.copy(), obs.docc.copy(),
+                       dict(st.lanc_niter_sector))
+    assert abs(res["0"][0] - res["1"][0]) < 1e-10
+    assert abs(res["0"][1] - res["1"][1]) < 1e-10
+    np.testing.assert_allclose(res["1"][2], res["0"][2], atol=1e-9)
+    np.testing.assert_allclose(res["1"][3], res["0"][3], atol=1e-9)
+    # adaptive-niter memory populated on both routes
+    assert res["0"][4] and res["1"][4]
+
+
+def test_plain_lanczos_adaptive_second_sweep(monkeypatch):
+    """A hinted (shortened) second sweep reproduces the first sweep's
+    ground state on both the serial and stacked routes."""
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.bath import Bath
+    from dmft_ed_tpu.diag import diagonalize
+
+    for ragged in ("0", "1"):
+        monkeypatch.setenv("DMFT_ED_RAGGED", ragged)
+        cfg = EDConfig(norb=1, nbath=5, nspin=1, uloc=(2.0,), xmu=0.12,
+                       lanc_method="lanczos", lanc_dim_threshold=16,
+                       lanc_niter=200, beta=50.0).validate()
+        rng = np.random.default_rng(22)
+        bath = Bath(cfg)
+        bath.e[:] = np.linspace(-1.1, 0.9, cfg.nbath)[None, None, :]
+        bath.v[:] = rng.uniform(0.4, 0.7, size=bath.v.shape)
+        hloc = np.zeros((1, 1, 1, 1))
+        slist1, _, st = diagonalize(cfg, bath, hloc, None)
+        slist2, _, st = diagonalize(cfg, bath, hloc, st)
+        assert abs(slist1.emin - slist2.emin) < 1e-10
+        v1 = np.asarray(slist1.states[0].get_vector())
+        v2 = np.asarray(slist2.states[0].get_vector())
+        assert abs(abs(np.vdot(v1, v2)) - 1.0) < 1e-8
