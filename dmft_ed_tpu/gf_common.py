@@ -208,6 +208,7 @@ class ResolventBatch:
             nlanc = min(jsec.dim, cfg.lanc_ngfiter)
             entries.append((site, spec, blocks, arrays, nlanc, joblist,
                             cache, jsec))
+        yield from self._run_sweep_concat(entries)    # consumes in place
         groups: Dict[tuple, list] = {}
         for e in entries:
             gkey = (e[1], e[2], e[4],
@@ -267,6 +268,74 @@ class ResolventBatch:
                                                ns[si])
         self.jobs.clear()
         self.jsecs.clear()
+
+    def _run_sweep_concat(self, entries):
+        """Round-5 wide-concat GF backend (sweep_plain.py): all (sector,
+        channel) Lanczos chains of one site whose target sectors are
+        mix-free single blocks run as ONE lockstep scan whose matvec
+        shares the per-(spin, n) operators across sectors and
+        concatenates chain vectors into wide MXU products — the GF
+        analogue of the round-5 sector-sweep engine (the per-sector/
+        zero-embedded scans run the MXU at small-shape s8 rates;
+        PERF_NOTES). Consumed entries are removed from `entries` by
+        index; the rest flow to the vmap/ragged/stacked paths."""
+        from .device import ragged_batching, place_krylov
+        from .sweep_plain import (sweep_supported, make_sweep_op,
+                                  sweep_tridiag)
+        consumed = set()
+        by_site: Dict[int, list] = {}
+        for i, e in enumerate(entries):
+            by_site.setdefault(e[0], []).append((i, e))
+        for site, idx_ents in by_site.items():
+            ents = [e for _, e in idx_ents]
+            cache = self.sites[site][0]
+            cfg = cache.cfg
+            hams = [e[6].ham(e[7]) for e in ents]
+            nchains = sum(len(e[5]) for e in ents)
+            total = sum(e[7].dim * len(e[5]) for e in ents)
+            hams_cplx = any(np.issubdtype(h.dtype, np.complexfloating)
+                            for h in hams)
+            chain_cplx = any(np.iscomplexobj(j[0])
+                             for e in ents for j in e[5])
+            cplx = hams_cplx or chain_cplx
+            vdt = np.result_type(np.dtype(cfg.dtype),
+                                 np.complex64 if cplx else np.float32)
+            if nchains < 2 or not sweep_supported(cfg, hams) \
+                    or not ragged_batching(total, vdt):
+                continue
+            if chain_cplx and not hams_cplx \
+                    and cfg.matmul_precision.startswith("ozaki"):
+                # complex chain vectors against real ozaki-encoded
+                # operators: digit slicing is real-only — leave these to
+                # the dense/stacked paths
+                continue
+            # flatten (sector x channel) -> collection members
+            members = []    # (entry, job)
+            mhams = []
+            for e, h in zip(ents, hams):
+                for j in e[5]:
+                    members.append((e, j))
+                    mhams.append(h)
+            spec, arrays = make_sweep_op(cfg, mhams)
+            dt = np.complex128 if cplx else np.dtype(cfg.dtype)
+            V0 = tuple(jnp.asarray(np.asarray(j[0], dtype=dt).reshape(
+                e[7].blocks[0].ddw, e[7].blocks[0].dup))
+                for e, j in members)
+            arrays, V0 = place_krylov(arrays, V0)
+            nlanc = max(e[4] for e in ents)
+            al, be, ns = sweep_tridiag(spec, arrays, nlanc, V0)
+            al = np.asarray(al, dtype=np.float64)    # [nlanc, S]
+            be = np.asarray(be, dtype=np.float64)
+            ns = np.asarray(ns)
+            for s, (e, j) in enumerate(members):
+                # clamp to the member's own chain length (prefix-stable
+                # Lanczos coefficients, as in _run_ragged_stack)
+                n_s = min(int(ns[s]), e[4])
+                yield from self._weights_poles(
+                    e[0], [j], al[:, s][None, :], be[:, s][None, :], [n_s])
+            consumed.update(i for i, _ in idx_ents)
+        for i in sorted(consumed, reverse=True):
+            del entries[i]
 
     def _bucket_key(self, e):
         """Ragged-merge bucket of a paddable entry, or None.

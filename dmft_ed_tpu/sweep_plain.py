@@ -88,6 +88,7 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
     up_ops = []
     sec_entries = []
     diag_idx = []
+    diag_seen = {}      # repeated sectors (GF chains) share one diagonal
     for h in hams:
         blk = h.sector.blocks[0]
         nup, ndw = blk.nup, blk.ndw
@@ -111,7 +112,10 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
                 up_ops.append(("dense",)
                               + push(jnp.asarray(dense, dtype=vdtype)))
             up_groups[nup] = len(up_ops) - 1
-        diag_idx.append(push(jnp.asarray(h.diag[0], dtype=rdtype))[0])
+        if id(h) not in diag_seen:
+            diag_seen[id(h)] = push(jnp.asarray(h.diag[0],
+                                                dtype=rdtype))[0]
+        diag_idx.append(diag_seen[id(h)])
         sec_entries.append((blk.ddw, blk.dup, dw_groups[ndw],
                             up_groups[nup]))
 

@@ -31,22 +31,36 @@ def _bath(cfg, seed=7):
 
 
 def _gf_with_spy(cfg, bath, hloc, finite_t, monkeypatch, disable=False):
-    calls = {"ragged": 0}
+    """Counts the batched GF routes: the wide-concat sweep backend
+    (_run_sweep_concat, round 5) or the zero-embedded ragged buckets
+    (_run_ragged); disable=True forces the serial/stacked baseline."""
+    calls = {"batched": 0}
     monkeypatch.setenv("DMFT_ED_RAGGED", "1")  # tests run host-only
     if disable:
         monkeypatch.setattr(gf_common.ResolventBatch, "_bucket_key",
                             lambda self, e: None)
+        monkeypatch.setattr(gf_common.ResolventBatch, "_run_sweep_concat",
+                            lambda self, entries: iter(()))
     else:
-        orig = gf_common.ResolventBatch._run_ragged
+        orig_r = gf_common.ResolventBatch._run_ragged
+        orig_s = gf_common.ResolventBatch._run_sweep_concat
 
-        def spy(self, ents, ddw_pad, dup_pad):
-            calls["ragged"] += 1
-            return orig(self, ents, ddw_pad, dup_pad)
+        def spy_r(self, ents, ddw_pad, dup_pad):
+            calls["batched"] += 1
+            return orig_r(self, ents, ddw_pad, dup_pad)
 
-        monkeypatch.setattr(gf_common.ResolventBatch, "_run_ragged", spy)
+        def spy_s(self, entries):
+            n0 = len(entries)
+            yield from orig_s(self, entries)
+            if len(entries) < n0:
+                calls["batched"] += 1
+
+        monkeypatch.setattr(gf_common.ResolventBatch, "_run_ragged", spy_r)
+        monkeypatch.setattr(gf_common.ResolventBatch, "_run_sweep_concat",
+                            spy_s)
     slist, zeta, _ = diagonalize(cfg, bath, hloc, None)
     Gm, Gr = build_gf_normal(cfg, slist, zeta, bath, hloc, finite_t)
-    return Gm, Gr, calls["ragged"]
+    return Gm, Gr, calls["batched"]
 
 
 @pytest.mark.parametrize("finite_t", [False, True])
@@ -60,8 +74,8 @@ def test_ragged_matches_serial(finite_t, monkeypatch):
     bath = _bath(cfg)
     hloc = np.zeros((2, 2, 1, 1))
     with monkeypatch.context() as m:
-        Gm1, Gr1, n_ragged = _gf_with_spy(cfg, bath, hloc, finite_t, m)
-    assert n_ragged > 0, "ragged bucket path was never taken"
+        Gm1, Gr1, n_batched = _gf_with_spy(cfg, bath, hloc, finite_t, m)
+    assert n_batched > 0, "no batched GF route was taken"
     with monkeypatch.context() as m:
         Gm0, Gr0, _ = _gf_with_spy(cfg, bath, hloc, finite_t, m,
                                    disable=True)
@@ -84,8 +98,8 @@ def test_ragged_offdiag_hybrid_matches_serial(monkeypatch):
     hloc = np.zeros((2, 2, 2, 2))
     hloc[0, 0] = hloc[1, 1] = np.array([[0.3, 0.15], [0.15, -0.2]])
     with monkeypatch.context() as m:
-        Gm1, Gr1, n_ragged = _gf_with_spy(cfg, bath, hloc, False, m)
-    assert n_ragged > 0
+        Gm1, Gr1, n_batched = _gf_with_spy(cfg, bath, hloc, False, m)
+    assert n_batched > 0
     with monkeypatch.context() as m:
         Gm0, Gr0, _ = _gf_with_spy(cfg, bath, hloc, False, m, disable=True)
     np.testing.assert_allclose(Gm1, Gm0, rtol=1e-8, atol=1e-11)
