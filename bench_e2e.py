@@ -36,7 +36,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-CANONICAL_CPU_S = 216.03   # artifacts/canonical_bethe.json wallclock_s
+# Round-5 re-measure of the canonical CPU loop with the convergence-
+# adaptive Lanczos lengths: 95.01 s, converged in 18 iterations at
+# docc 0.09105 (the round-3 pre-adaptive run: 216.03 s / 16 iters /
+# docc 0.08899 — artifacts/canonical_bethe.json keeps that run as the
+# physics anchor; the 2.1e-3 docc shift is the documented micro-state
+# wobble of the dmft_error=1e-5 fixed point, PERF_NOTES backend-parity
+# section).
+CANONICAL_CPU_S = 95.01
 LARGE_CPU_ART = os.path.join(REPO, "artifacts", "large_sector_cpu.json")
 
 

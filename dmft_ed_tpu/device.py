@@ -28,23 +28,25 @@ import jax.numpy as jnp
 # platforms with no complex128 support on device
 _NO_C128 = ("tpu", "axon")
 
-# Offload placement is a TWO-LEVEL decision (round-4 crossover scan,
-# bench_crossover.py / PERF_NOTES.md):
+# Offload placement is a TWO-LEVEL decision (crossover scan,
+# bench_crossover.py / PERF_NOTES.md; re-measured round 5 with the
+# whole-sweep concat engines, artifacts/crossover.json):
 #
 # 1. PROBLEM level: the hybrid placement only pays off when the problem's
-#    LARGEST sector crosses the CPU/TPU crossover — measured steady-state:
-#    CPU wins up to dim 6.4e4 (2.3x at Nbath=9), the hybrid wins from
-#    2.1e5 (1.17x at Nbath=10, 2.9x at 8.5e5). Below that, everything
-#    stays on the host (DMFT_ED_OFFLOAD_MIN_DIM, solver calls
-#    note_problem_dim with the sector table's max).
+#    LARGEST sector crosses the CPU/TPU crossover — measured steady-state
+#    (round 5, concat engines + adaptive niter both sides): CPU wins at
+#    dim 1.6e4 (7.1 vs 9.8 s/iter at Nbath=8), the hybrid wins from
+#    6.4e4 (5.8x at Nbath=9, 3.7x at 2.1e5, 15x at 8.5e5). Below the
+#    threshold everything stays on the host (DMFT_ED_OFFLOAD_MIN_DIM,
+#    solver calls note_problem_dim with the sector table's max).
 # 2. SECTOR level: once offloading, a LOW per-sector floor wins — the
-#    tunnel cost is per-dispatch and the ragged batcher amortizes it best
-#    when it gets the whole sector population (measured at Nbath=10:
-#    floor 32768 = 80.5 s/iter vs offloading only >=131072 = 140 s/iter,
-#    both vs CPU 94.4; at Nbath=8/9 floor 2048 beats floor 32768 by
+#    tunnel cost is per-dispatch and the concat/ragged batchers amortize
+#    it best when they get the whole sector population (round 5 at
+#    Nbath=10: floor 2048 = 15.6 s/iter vs round-4's floor-32768 80.5
+#    and floor-131072 140; at Nbath=8/9 floor 2048 beats floor 32768 by
 #    ~1.6x). DMFT_ED_KRYLOV_MIN_DIM keeps tiny blocks host-side.
 _MIN_DIM = int(os.environ.get("DMFT_ED_KRYLOV_MIN_DIM", 2048))
-_OFFLOAD_MIN = int(os.environ.get("DMFT_ED_OFFLOAD_MIN_DIM", 131072))
+_OFFLOAD_MIN = int(os.environ.get("DMFT_ED_OFFLOAD_MIN_DIM", 32768))
 
 # largest sector dim of the problem currently being solved (None =
 # unknown -> offload decisions fall back to per-call sizes only)
