@@ -90,13 +90,36 @@ class MixTerm(NamedTuple):
 
 @dataclass
 class SectorHamiltonian:
-    """All data needed to apply H within one sector."""
+    """All data needed to apply H within one sector.
+
+    The diagonal is stored in FACTORED form when possible (``dfac``):
+    every density-density diagonal is exactly
+    ``nd @ W @ nu.T + d_dw[:, None] + d_up[None, :]`` with per-spin
+    occupation matrices ``nd``/``nu`` ([d, norb], 0/1 entries) and
+    per-spin energy vectors — so the accelerator sweep engine ships a
+    few KB of factors per (spin, n) group instead of the O(dim) dense
+    diagonal (which at Ns=12 is ~134 MB/iteration of tunnel traffic).
+    ``.diag`` materializes the dense blocks lazily for the paths that
+    still want them (dense eigh, serial matvec, oracle tests)."""
     sector: Sector
-    diag: List[np.ndarray]        # per block [ddw, dup] real
+    _diag: Optional[List[np.ndarray]]   # per block [ddw, dup] real (lazy)
     hup: List[SpinCOO]            # per block, acting on up factor
     hdw: List[SpinCOO]            # per block, acting on dw factor
     mix: List[MixTerm]
     dtype: np.dtype               # overall scalar dtype (real or complex)
+    # (W, [(d_dw, d_up_c, nd, nu) per block]) or None; d_up_c folds the
+    # hfmode constant in
+    dfac: Optional[tuple] = None
+
+    @property
+    def diag(self) -> List[np.ndarray]:
+        if self._diag is None:
+            W, blocks = self.dfac
+            self._diag = [
+                np.ascontiguousarray(nd @ W @ nu.T + d_dw[:, None]
+                                     + d_up_c[None, :])
+                for d_dw, d_up_c, nd, nu in blocks]
+        return self._diag
 
     @property
     def dim(self) -> int:
@@ -322,9 +345,12 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
         else:
             const = 0.0
         W = np.diag(uloc) + ust * (np.ones((norb, norb)) - np.eye(norb))
-        D = nd @ W @ nu.T
-        D = D + d_up[None, :] + d_dw[:, None] + const
-        diag.append(np.ascontiguousarray(D))
+        # factored diagonal: materialized lazily by SectorHamiltonian.diag
+        # (same expression, same add order — bit-identical f64)
+        diag.append((np.asarray(d_dw, dtype=np.float64),
+                     np.asarray(d_up + const, dtype=np.float64),
+                     np.asarray(nd, dtype=np.float64),
+                     np.asarray(nu, dtype=np.float64)))
 
         # --- spin-exchange & pair-hopping (Hint.f90, Norb>1 & Jhflag)
         if norb > 1 and jhflag:
@@ -461,7 +487,9 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
                                 mix.append(MixTerm(bi, ti, upc, dwc,
                                                    np.conj(Tud[i, j]) * ph2))
 
-    return SectorHamiltonian(sector, diag, hup, hdw, mix, np.dtype(dt))
+    W = np.diag(uloc) + ust * (np.ones((norb, norb)) - np.eye(norb))
+    return SectorHamiltonian(sector, None, hup, hdw, mix, np.dtype(dt),
+                             dfac=(W, diag))
 
 
 # ----------------------------------------------------------------------

@@ -81,11 +81,23 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
         arrays.extend(arrs)
         return tuple(range(i0, len(arrays)))
 
-    # ---- shared per-(spin, n) operators, encoded once
+    # ---- shared per-(spin, n) operators, encoded once. The diagonal
+    # ships in FACTORED form (hamiltonian.SectorHamiltonian.dfac): per
+    # dw group (d_dw, nd) and per up group (d_up_c, nu) — a few KB per
+    # (spin, n) — and the dense [ddw, dup] diagonals are rebuilt ON
+    # DEVICE once per jit call (prepare below): at Ns=12 this removes
+    # ~134 MB/iteration of host->device diagonal traffic through the
+    # tunnel. Sectors without factors fall back to dense diag transfer.
+    have_fac = all(h.dfac is not None for h in hams)
+    w_idx = -1
+    if have_fac:
+        w_idx = push(jnp.asarray(hams[0].dfac[0], dtype=rdtype))[0]
     dw_groups = {}      # ndw -> group id
     up_groups = {}
     dw_ops = []         # per gid: ("ozl"/"dense", idx...)
     up_ops = []
+    dw_fac = []         # per gid: (d_dw_idx, nd_idx) in fact mode
+    up_fac = []
     sec_entries = []
     diag_idx = []
     diag_seen = {}      # repeated sectors (GF chains) share one diagonal
@@ -101,6 +113,10 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
             else:
                 dw_ops.append(("dense",)
                               + push(jnp.asarray(dense, dtype=vdtype)))
+            if have_fac:
+                d_dw, _, nd, _ = h.dfac[1][0]
+                dw_fac.append(push(jnp.asarray(d_dw, dtype=rdtype),
+                                   jnp.asarray(nd, dtype=rdtype)))
             dw_groups[ndw] = len(dw_ops) - 1
         if nup not in up_groups:
             from . import ozaki as _oz
@@ -111,22 +127,29 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
             else:
                 up_ops.append(("dense",)
                               + push(jnp.asarray(dense, dtype=vdtype)))
+            if have_fac:
+                _, d_up_c, _, nu = h.dfac[1][0]
+                up_fac.append(push(jnp.asarray(d_up_c, dtype=rdtype),
+                                   jnp.asarray(nu, dtype=rdtype)))
             up_groups[nup] = len(up_ops) - 1
-        if id(h) not in diag_seen:
-            diag_seen[id(h)] = push(jnp.asarray(h.diag[0],
-                                                dtype=rdtype))[0]
-        diag_idx.append(diag_seen[id(h)])
+        if not have_fac:
+            if id(h) not in diag_seen:
+                diag_seen[id(h)] = push(jnp.asarray(h.diag[0],
+                                                    dtype=rdtype))[0]
+            diag_idx.append(diag_seen[id(h)])
         sec_entries.append((blk.ddw, blk.dup, dw_groups[ndw],
                             up_groups[nup]))
 
     spec = (tuple(sec_entries), tuple(diag_idx), tuple(dw_ops),
-            tuple(up_ops), str(vdtype), ozaki_n, ozaki_b)
+            tuple(up_ops), str(vdtype), ozaki_n, ozaki_b,
+            (w_idx, tuple(dw_fac), tuple(up_fac)) if have_fac else None)
     return spec, tuple(arrays)
 
 
 @lru_cache(maxsize=64)
 def _sweep_applier(spec):
-    sec_entries, diag_idx, dw_ops, up_ops, _, ozaki_n, ozaki_b = spec
+    (sec_entries, diag_idx, dw_ops, up_ops, _, ozaki_n, ozaki_b,
+     fac) = spec
     n_dw_groups = len(dw_ops)
     n_up_groups = len(up_ops)
     dw_members = [[] for _ in range(n_dw_groups)]
@@ -135,9 +158,31 @@ def _sweep_applier(spec):
         dw_members[dg].append(s)
         up_members[ug].append(s)
 
-    def matvec(arrays, V):
+    def prepare(arrays):
+        """Per-sector dense diagonals, rebuilt on device from the
+        factored form once per jit call (closed over by the scan body,
+        so XLA computes them once, outside the loop). Same expression
+        and add order as SectorHamiltonian.diag — bit-identical f64 on
+        a native-f64 backend."""
+        if fac is None:
+            return tuple(arrays[diag_idx[s]]
+                         for s in range(len(sec_entries)))
+        w_idx, dw_fac, up_fac = fac
+        W = arrays[w_idx]
+        cache = {}
+        Ds = []
+        for ddw, dup, dg, ug in sec_entries:
+            if (dg, ug) not in cache:
+                d_dw, nd = arrays[dw_fac[dg][0]], arrays[dw_fac[dg][1]]
+                d_up_c, nu = arrays[up_fac[ug][0]], arrays[up_fac[ug][1]]
+                cache[(dg, ug)] = (nd @ W @ nu.T + d_dw[:, None]
+                                   + d_up_c[None, :])
+            Ds.append(cache[(dg, ug)])
+        return tuple(Ds)
+
+    def matvec(arrays, Ds, V):
         from . import ozaki as _oz
-        Y = [arrays[diag_idx[s]] * V[s] for s in range(len(sec_entries))]
+        Y = [Ds[s] * V[s] for s in range(len(sec_entries))]
         # dw family: one wide product per n_dw group
         for g, members in enumerate(dw_members):
             if not members:
@@ -174,7 +219,7 @@ def _sweep_applier(spec):
                 off += ddw
         return tuple(Y)
 
-    return matvec
+    return prepare, matvec
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -184,14 +229,15 @@ def sweep_tridiag(spec, arrays, niter: int, V0):
     V0: tuple of per-sector [ddw, dup] start vectors (normalized).
     Returns (alphas [niter, S], betas [niter, S] reference layout,
     nsteps [S])."""
-    matvec = _sweep_applier(spec)
+    prepare, matvec = _sweep_applier(spec)
+    Ds = prepare(arrays)
     S = len(V0)
     rdt = jnp.float64 if V0[0].dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
 
     def step(carry, _):
         Vp, V, bp, alive = carry
-        W = matvec(arrays, V)
+        W = matvec(arrays, Ds, V)
         a = jnp.stack([_pdot_pair(v, w) for v, w in zip(V, W)])  # [S]
         W = tuple(w - a[s] * v - bp[s] * vp
                   for s, (w, v, vp) in enumerate(zip(W, V, Vp)))
@@ -221,7 +267,8 @@ def sweep_rebuild(spec, arrays, niter: int, V0, alphas, betas, Y0):
     alphas/betas [niter, S] (reference layout), Y0 [niter, S] zero-padded
     past each sector's chain. Masking past a sector's breakdown keeps the
     replay finite (Y0 is zero there, so the accumulators are exact)."""
-    matvec = _sweep_applier(spec)
+    prepare, matvec = _sweep_applier(spec)
+    Ds = prepare(arrays)
     S = len(V0)
     rdt = jnp.float64 if V0[0].dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
@@ -233,7 +280,7 @@ def sweep_rebuild(spec, arrays, niter: int, V0, alphas, betas, Y0):
     def step(carry, j):
         Vp, V, acc = carry
         acc = tuple(a + Y0[j, s] * v for s, (a, v) in enumerate(zip(acc, V)))
-        W = matvec(arrays, V)
+        W = matvec(arrays, Ds, V)
         W = tuple(w - alphas[j, s] * v - betas[j, s] * vp
                   for s, (w, v, vp) in enumerate(zip(W, V, Vp)))
         bn = beta_next[j]

@@ -46,30 +46,36 @@ def test_bethe_half_filling_metal(rundir):
 def test_backend_parity_ozaki_vs_native(rundir):
     """Backend-parity bound (VERDICT r4 item 6): the effective-f64 ozaki
     Krylov arithmetic (the TPU hybrid path, device.py) must reproduce the
-    native-f64 DMFT fixed point. Measured round 5 (PERF_NOTES): at deep
-    convergence (dmft_error=1e-7) the backends' docc differ by 4.6e-4;
-    at the production dmft_error=1e-5 the spread is 7.1e-4, of which
-    most is convergence depth (native-vs-native across depths moves
-    1.2e-3). Contract: docc/dens within 1.5e-3, Z within 2e-3 at
-    dmft_error=1e-5. Egs is bounded loosely (0.1): it tracks the
-    bath-fit micro-state, which keeps sliding below dmft_error long
-    after the physical observables pin (native-vs-native across depths
-    moves Egs 0.046)."""
+    native-f64 DMFT fixed point. Measured round 5 (PERF_NOTES 2x2
+    decomposition): the backend-PINNED docc difference at deep
+    convergence (dmft_error=1e-7) is ~1e-3 (measured 4.6e-4 at the
+    adaptive-lengths revision, 1.02e-3 after the round-5 sweep-engine
+    revisions — the gap itself wobbles with Krylov truncation detail),
+    while at the production dmft_error=1e-5 the stop-point wobble adds
+    up to ~1.2e-3 more of convergence-depth noise that is NOT a backend
+    property. The contract pins the deep fixed point with 2x headroom
+    over the measured gap: docc within 2e-3, dens within 1e-3, Z within
+    2e-3 at dmft_error=1e-7 — wide enough for truncation wobble, tight
+    enough to catch real arithmetic corruption (the round-4 digit
+    extraction bug moved docc by >1e-2 and broke convergence). Egs is bounded loosely (0.1): it
+    tracks the bath-fit micro-state, which keeps sliding below
+    dmft_error long after the physical observables pin
+    (native-vs-native across depths moves Egs 0.046)."""
     res = {}
     for prec in ("native", "ozaki5x7"):
         cfg = EDConfig(norb=1, nbath=6, nspin=1, uloc=(2.0,), beta=100.0,
-                       lmats=512, lreal=64, lfit=512, nloop=40,
-                       dmft_error=1e-5, ed_verbose=0,
+                       lmats=512, lreal=64, lfit=512, nloop=80,
+                       dmft_error=1e-7, ed_verbose=0,
                        matmul_precision=prec, lanc_method="lanczos",
                        lanc_niter=256, lanc_ngfiter=200,
                        lanc_dim_threshold=32).validate()
         r = hm_bethe.run(cfg, le=300, wmixing=0.5, log=lambda m: None)
-        assert r.error < 1e-4, f"{prec}: err={r.error}"
+        assert r.error < 5e-6, f"{prec}: err={r.error}"
         wm1 = np.pi / cfg.beta
         z = 1.0 / (1.0 - r.smats[0, 0, 0, 0, 0].imag / wm1)
         res[prec] = (r.docc.copy(), r.dens.copy(), r.egs, z, r.iterations)
     a, b = res["native"], res["ozaki5x7"]
-    np.testing.assert_allclose(b[0], a[0], atol=1.5e-3)    # docc
+    np.testing.assert_allclose(b[0], a[0], atol=2e-3)      # docc
     np.testing.assert_allclose(b[1], a[1], atol=1e-3)      # dens
     assert abs(b[2] - a[2]) < 0.1, (a[2], b[2])            # Egs (loose)
     assert abs(b[3] - a[3]) < 2e-3, (a[3], b[3])           # Z

@@ -170,3 +170,55 @@ def test_plain_lanczos_adaptive_second_sweep(monkeypatch):
         v1 = np.asarray(slist1.states[0].get_vector())
         v2 = np.asarray(slist2.states[0].get_vector())
         assert abs(abs(np.vdot(v1, v2)) - 1.0) < 1e-8
+
+
+def test_sweep_factored_diagonal_bit_identical():
+    """The sweep engine's device-rebuilt diagonals (round-5 factored
+    transfer: per-(spin, n) occupation factors + W instead of the dense
+    [ddw, dup] blocks) must be BIT-identical to the host
+    materialization (SectorHamiltonian.diag) on a native-f64 backend —
+    same expression, same add order. Exercises W off-diagonals
+    (ust), the same-spin (ust-jh) term and the hfmode constant with
+    norb=2."""
+    import jax.numpy as jnp
+    from dmft_ed_tpu.config import EDConfig
+    from dmft_ed_tpu.bath import Bath
+    from dmft_ed_tpu.sectors import sector_table
+    from dmft_ed_tpu.hamiltonian import build_sector_hamiltonian
+    from dmft_ed_tpu.sweep_plain import (sweep_supported, make_sweep_op,
+                                         sweep_tridiag, _sweep_applier)
+
+    cfg = EDConfig(norb=2, nbath=2, nspin=1, uloc=(2.0, 1.5), ust=0.8,
+                   jh=0.2, hfmode=True, beta=50.0).validate()
+    rng = np.random.default_rng(31)
+    bath = Bath(cfg)
+    bath.e[:] = np.linspace(-1.0, 1.0, bath.e.shape[-1])[None, None, :]
+    bath.v[:] = rng.uniform(0.3, 0.7, size=bath.v.shape)
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = np.diag([0.1, -0.1])
+    tbl = sector_table(cfg)
+    hams = [build_sector_hamiltonian(cfg, s, bath, hloc)
+            for s in tbl.sectors
+            if s.dim > 1 and len(s.blocks) == 1][:10]
+    assert sweep_supported(cfg, hams)
+    spec, arrays = make_sweep_op(cfg, hams)
+    assert spec[7] is not None, "factored-diagonal path not taken"
+    prepare, _ = _sweep_applier(spec)
+    Ds = prepare(arrays)
+    for h, D in zip(hams, Ds):
+        assert np.array_equal(np.asarray(D), h.diag[0])
+    # and the lockstep solve over the factored operators still matches
+    # the dense spectrum
+    V0 = tuple(jnp.asarray(rng.standard_normal(
+        (h.sector.blocks[0].ddw, h.sector.blocks[0].dup))) for h in hams)
+    V0 = tuple(v / jnp.linalg.norm(v) for v in V0)
+    al, be, ns = sweep_tridiag(spec, arrays, 60, V0)
+    al, be, ns = np.asarray(al), np.asarray(be), np.asarray(ns)
+    from dmft_ed_tpu.hamiltonian import assemble_dense
+    for s, h in enumerate(hams):
+        n = min(int(ns[s]), h.dim)
+        T = (np.diag(al[:n, s]) + np.diag(be[1:n, s], 1)
+             + np.diag(be[1:n, s], -1))
+        e0 = np.linalg.eigvalsh(T)[0]
+        e0d = np.linalg.eigvalsh(assemble_dense(h))[0]
+        assert n < h.dim or abs(e0 - e0d) < 1e-8
