@@ -107,18 +107,21 @@ class SectorHamiltonian:
     hdw: List[SpinCOO]            # per block, acting on dw factor
     mix: List[MixTerm]
     dtype: np.dtype               # overall scalar dtype (real or complex)
-    # (W, [(d_dw, d_up_c, nd, nu) per block]) or None; d_up_c folds the
-    # hfmode constant in
+    # (W, const, [(d_dw, d_up, nd, nu) per block]) or None; const is the
+    # hfmode shift. The materialization below keeps the EXACT expression
+    # and f64 add order of the original eager construction (A + d_up +
+    # d_dw + const) so the factored form is bit-identical to it — DMFT
+    # trajectories near marginal fit bistabilities are sensitive to ulps.
     dfac: Optional[tuple] = None
 
     @property
     def diag(self) -> List[np.ndarray]:
         if self._diag is None:
-            W, blocks = self.dfac
+            W, const, blocks = self.dfac
             self._diag = [
-                np.ascontiguousarray(nd @ W @ nu.T + d_dw[:, None]
-                                     + d_up_c[None, :])
-                for d_dw, d_up_c, nd, nu in blocks]
+                np.ascontiguousarray(nd @ W @ nu.T + d_up[None, :]
+                                     + d_dw[:, None] + const)
+                for d_dw, d_up, nd, nu in blocks]
         return self._diag
 
     @property
@@ -227,19 +230,36 @@ def single_particle_parts(cfg: EDConfig, bath: Bath, hloc: np.ndarray):
     return Tuu, Tdd, Tud, P
 
 
+# (ns, n, T-bytes) -> SpinCOO. The sector sweep calls _spin_quadratic
+# per sector block, but a sweep only has ~Ns+1 distinct (spin, n)
+# operators (H_up depends on n_up only, H_dw on n_dw only) — the same
+# sharing the device concat engine exploits (sweep_plain). SpinCOO is
+# treated immutably everywhere (scaled() copies), so entries can be
+# shared. Bath updates change T's bytes, invalidating naturally.
+_SPINQ_CACHE: dict = {}
+
+
 def _spin_quadratic(ns: int, n: int, T: np.ndarray) -> SpinCOO:
     """Σ_{i≠j} T[i,j] c†_i c_j restricted to the n-particle spin basis.
 
     The diagonal of T is handled separately (block diagonal), so only
     off-diagonal entries enter.
     """
+    key = (ns, n, T.dtype.str, T.tobytes())
+    hit = _SPINQ_CACHE.get(key)
+    if hit is not None:
+        return hit
     dim = fock.comb(ns, n)
     coos = []
     nz = np.argwhere((T != 0) & ~np.eye(ns, dtype=bool))
     for i, j in nz:
         r, c, s = fock.hop_op(ns, n, int(i), int(j))
         coos.append(SpinCOO(r, c, s * T[i, j], (dim, dim)))
-    return _sum_coo(coos, (dim, dim))
+    out = _sum_coo(coos, (dim, dim))
+    if len(_SPINQ_CACHE) > 512:
+        _SPINQ_CACHE.clear()
+    _SPINQ_CACHE[key] = out
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -348,7 +368,7 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
         # factored diagonal: materialized lazily by SectorHamiltonian.diag
         # (same expression, same add order — bit-identical f64)
         diag.append((np.asarray(d_dw, dtype=np.float64),
-                     np.asarray(d_up + const, dtype=np.float64),
+                     np.asarray(d_up, dtype=np.float64),
                      np.asarray(nd, dtype=np.float64),
                      np.asarray(nu, dtype=np.float64)))
 
@@ -488,8 +508,11 @@ def build_sector_hamiltonian(cfg: EDConfig, sector: Sector, bath: Bath,
                                                    np.conj(Tud[i, j]) * ph2))
 
     W = np.diag(uloc) + ust * (np.ones((norb, norb)) - np.eye(norb))
+    const = 0.25 * uloc.sum() if cfg.hfmode else 0.0
+    if cfg.hfmode and norb > 1:
+        const += 0.25 * (ust + (ust - jh)) * (norb * (norb - 1) // 2)
     return SectorHamiltonian(sector, None, hup, hdw, mix, np.dtype(dt),
-                             dfac=(W, diag))
+                             dfac=(W, const, diag))
 
 
 # ----------------------------------------------------------------------

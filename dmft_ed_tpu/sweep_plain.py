@@ -89,9 +89,10 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
     # ~134 MB/iteration of host->device diagonal traffic through the
     # tunnel. Sectors without factors fall back to dense diag transfer.
     have_fac = all(h.dfac is not None for h in hams)
-    w_idx = -1
+    w_idx = c_idx = -1
     if have_fac:
         w_idx = push(jnp.asarray(hams[0].dfac[0], dtype=rdtype))[0]
+        c_idx = push(jnp.asarray(hams[0].dfac[1], dtype=rdtype))[0]
     dw_groups = {}      # ndw -> group id
     up_groups = {}
     dw_ops = []         # per gid: ("ozl"/"dense", idx...)
@@ -114,7 +115,7 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
                 dw_ops.append(("dense",)
                               + push(jnp.asarray(dense, dtype=vdtype)))
             if have_fac:
-                d_dw, _, nd, _ = h.dfac[1][0]
+                d_dw, _, nd, _ = h.dfac[2][0]
                 dw_fac.append(push(jnp.asarray(d_dw, dtype=rdtype),
                                    jnp.asarray(nd, dtype=rdtype)))
             dw_groups[ndw] = len(dw_ops) - 1
@@ -128,8 +129,8 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
                 up_ops.append(("dense",)
                               + push(jnp.asarray(dense, dtype=vdtype)))
             if have_fac:
-                _, d_up_c, _, nu = h.dfac[1][0]
-                up_fac.append(push(jnp.asarray(d_up_c, dtype=rdtype),
+                _, d_up, _, nu = h.dfac[2][0]
+                up_fac.append(push(jnp.asarray(d_up, dtype=rdtype),
                                    jnp.asarray(nu, dtype=rdtype)))
             up_groups[nup] = len(up_ops) - 1
         if not have_fac:
@@ -142,7 +143,8 @@ def make_sweep_op(cfg: EDConfig, hams: List[SectorHamiltonian]):
 
     spec = (tuple(sec_entries), tuple(diag_idx), tuple(dw_ops),
             tuple(up_ops), str(vdtype), ozaki_n, ozaki_b,
-            (w_idx, tuple(dw_fac), tuple(up_fac)) if have_fac else None)
+            (w_idx, c_idx, tuple(dw_fac), tuple(up_fac))
+            if have_fac else None)
     return spec, tuple(arrays)
 
 
@@ -167,16 +169,16 @@ def _sweep_applier(spec):
         if fac is None:
             return tuple(arrays[diag_idx[s]]
                          for s in range(len(sec_entries)))
-        w_idx, dw_fac, up_fac = fac
-        W = arrays[w_idx]
+        w_idx, c_idx, dw_fac, up_fac = fac
+        W, const = arrays[w_idx], arrays[c_idx]
         cache = {}
         Ds = []
         for ddw, dup, dg, ug in sec_entries:
             if (dg, ug) not in cache:
                 d_dw, nd = arrays[dw_fac[dg][0]], arrays[dw_fac[dg][1]]
-                d_up_c, nu = arrays[up_fac[ug][0]], arrays[up_fac[ug][1]]
-                cache[(dg, ug)] = (nd @ W @ nu.T + d_dw[:, None]
-                                   + d_up_c[None, :])
+                d_up, nu = arrays[up_fac[ug][0]], arrays[up_fac[ug][1]]
+                cache[(dg, ug)] = (nd @ W @ nu.T + d_up[None, :]
+                                   + d_dw[:, None] + const)
             Ds.append(cache[(dg, ug)])
         return tuple(Ds)
 
